@@ -1,0 +1,338 @@
+"""Frozen configuration tree — the framework's single "config DB".
+
+The reference spreads tuned constants over module headers with experiment
+provenance in comments (tf_wall_clock_relay_v55.py:35-57,
+visual_landmark_matcher.py:54-89, pure_pursuit_path_follower.py:29-65,
+send_goals_hybrid.py, nav2_planner_defaults.yaml).  Here they are one pytree
+of frozen dataclasses whose defaults are the exp-59/64 campaign values, so a
+whole ablation (stock-Nav2-like baseline, RGB-D-only, sensor-noise sweeps) is
+just a different config instance fed to the same jitted rollout.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass
+
+
+def _frozen(cls):
+    return dataclass(frozen=True)(cls)
+
+
+@_frozen
+class SimConfig:
+    """Physics / timing.  Mirrors run_husky_forest.py:742-743,878-1166."""
+
+    physics_hz: float = 200.0          # PhysX step rate
+    nav_decimation: int = 20           # camera/nav tick every 20th step (10 Hz)
+    wheel_radius: float = 0.165        # Husky wheel radius [m]
+    track_width: float = 0.555         # Husky track width [m]
+    v_tau: float = 0.25                # wheel-drive first-order lag [s]
+    w_tau: float = 0.15
+    max_wheel_speed: float = 12.0      # rad/s clamp on wheel targets
+    slip_std: float = 0.01             # per-substep multiplicative slip noise
+    max_ticks: int = 12000             # nav ticks cap (20 min @ 10 Hz)
+
+
+@_frozen
+class ImuConfig:
+    """Synthetic Phidgets-1042 IMU (run_husky_forest.py:769-860)."""
+
+    gyro_std: float = 0.005            # rad/s white noise
+    accel_std: float = 0.02            # m/s^2 white noise
+    gyro_bias_std: float = 0.001       # constant per-run bias draw
+    accel_bias_std: float = 0.005
+    omega_lpf_new: float = 0.4         # omega LPF: 0.4*new + 0.6*prev
+    accel_mean_taps: int = 11          # accel 11-tap mean filter
+    standstill_window: int = 20        # 100 ms @ 200 Hz position history
+    standstill_thresh: float = 0.015   # 15 mm max displacement over window
+    gravity: float = 9.81
+
+
+@_frozen
+class CameraConfig:
+    """D435i-like RGB-D intrinsics (vio_th160.yaml, landmark recorder)."""
+
+    width: int = 640
+    height: int = 480
+    fx: float = 320.0
+    fy: float = 320.0
+    cx: float = 320.0
+    cy: float = 240.0
+    depth_min: float = 0.5
+    depth_max: float = 15.0
+    # raycast decimation grid (depth sensor model resolution)
+    ray_cols: int = 80
+    ray_rows: int = 60
+    ray_steps: int = 96                # fixed ray-march steps
+    # base_link -> camera extrinsics (visual_landmark_recorder.py:81-88)
+    cam_offset_fwd: float = 0.35
+    cam_offset_up: float = 0.18
+
+
+@_frozen
+class EncoderConfig:
+    """Simulated encoder+compass dead-reckoning (v55.py:489-501)."""
+
+    dist_noise: float = 0.005          # 0.5 % distance noise
+    compass_noise: float = 0.05        # rad white noise on yaw
+
+
+@_frozen
+class FusionConfig:
+    """v55 relay 4-regime fusion (tf_wall_clock_relay_v55.py)."""
+
+    # anchor thresholds (v55.py:193-199)
+    anchor_stale_s: float = 3.0
+    anchor_strong_std: float = 0.1
+    anchor_ok_std: float = 0.2
+    anchor_hysteresis_n: int = 2
+    # regime blend weights (v55.py:551-584)
+    strong_w_anchor: float = 0.40
+    strong_w_slam: float = 0.55
+    strong_w_enc: float = 0.05
+    ok_w_anchor: float = 0.20
+    ok_w_slam: float = 0.75
+    ok_w_enc: float = 0.05
+    # adaptive no-anchor alpha ladder vs SLAM-encoder disagreement
+    noanchor_alpha_steps: tuple = (0.95, 0.70, 0.40, 0.10)
+    noanchor_dist_steps: tuple = (2.0, 5.0, 10.0)
+    noanchor_anchor_age_s: float = 10.0
+    # jump rejection (v55.py:40-41)
+    jump_threshold_m: float = 0.5
+    yaw_jump_threshold: float = 0.3
+    # freeze detection (v55.py:512-526)
+    freeze_ticks: int = 60
+    freeze_enc_min_disp: float = 0.1
+    freeze_slam_max_motion: float = 0.01
+    # alignment window (v55.py:256-262)
+    align_window: int = 50
+    align_max_gt_disp: float = 0.15
+    align_max_yaw_std_deg: float = 0.5
+
+
+@_frozen
+class LandmarkConfig:
+    """Teach recorder + repeat matcher (visual_landmark_{recorder,matcher}.py)."""
+
+    # recorder
+    record_min_disp_m: float = 2.0     # new landmark every >= 2 m of camera travel
+    max_landmarks: int = 256           # fixed-capacity landmark store
+    feats_per_landmark: int = 96       # fixed per-landmark feature cap
+    ground_v_threshold: float = 180.0  # below-horizon pixel gate (recorder v>180)
+    depth_patch_std_max: float = 0.30  # 3x3 depth std gate [m]
+    # matcher (gates from matcher.py:54-89)
+    candidate_radius_m: float = 8.0
+    max_candidates: int = 5
+    heading_tol_deg: float = 90.0
+    min_matches: int = 10
+    min_inliers: int = 10
+    reproj_max_px: float = 2.0
+    ransac_reproj_px: float = 3.0
+    ransac_iterations: int = 200
+    consistency_m: float = 5.0
+    tick_period: int = 5               # 2 Hz at 10 Hz nav rate
+    # covariance model (matcher.py:399-410)
+    std_good: float = 0.05
+    std_bad: float = 0.2
+    inlier_hi: int = 25
+    inlier_lo: int = 15
+    # descriptor observation model
+    desc_words: int = 8                # 8 x uint32 = 256-bit descriptors
+    desc_noise_bits: float = 12.0      # mean flipped bits per observation
+    max_obs_features: int = 192        # live-frame feature cap
+
+
+@_frozen
+class MapConfig:
+    """Occupancy mapping (teach_run_depth_mapper.py:27-37 + Nav2 costmap)."""
+
+    resolution: float = 0.1
+    origin_x: float = -105.0
+    origin_y: float = -50.0
+    width_m: float = 185.0
+    height_m: float = 95.0
+    l_free: float = -0.4
+    l_occ: float = 1.4
+    l_min: float = -5.0
+    l_max: float = 5.0
+    occ_thresh: float = 0.65
+    free_thresh: float = 0.25
+    height_lo: float = 0.2             # obstacle band [m] above local ground
+    height_hi: float = 2.0
+    point_subsample: int = 4
+    # inflation layer (nav2_planner_defaults.yaml: 0.7 m, cost_scaling 3.0)
+    inflation_radius: float = 0.7
+    cost_scaling: float = 3.0
+    obstacle_range: float = 8.0
+    update_period: int = 5             # costmap refresh every 5 nav ticks (2 Hz)
+
+    @property
+    def cols(self) -> int:
+        return int(round(self.width_m / self.resolution))
+
+    @property
+    def rows(self) -> int:
+        return int(round(self.height_m / self.resolution))
+
+
+@_frozen
+class PlannerConfig:
+    """Wavefront global planner + dispatcher (send_goals_hybrid.py, NavFn)."""
+
+    window: int = 192                  # local planning crop (cells, 19.2 m)
+    sweeps: int = 6                    # fast-sweep rounds (4 directional passes each)
+    lethal_cost: float = 99.0
+    cost_weight: float = 0.15          # NavFn-like cost->traversal penalty weight
+    path_len: int = 256                # fixed extracted-path length
+    wp_spacing_m: float = 4.0          # teach WP subsample (send_goals --spacing)
+    tolerance_m: float = 3.0           # WP reached tolerance
+    replan_period: int = 50            # 5 s at 10 Hz
+    goal_timeout_ticks: int = 600      # 60 s per WP
+    max_plan_fails: int = 5
+    final_wp_count: int = 5            # last-5 never-skip policy
+    proj_cost_thresh: float = 30.0
+    proj_max_search_m: float = 3.0
+    proj_max_shift_m: float = 1.0
+    lookahead_skip_cost: float = 60.0
+    detour_radii: tuple = (4.0, 5.0, 6.0, 7.0)
+    detour_samples: int = 24
+    detour_max_cost: float = 30.0
+    max_waypoints: int = 128           # fixed WP-list capacity (508 m @ 4 m)
+
+
+@_frozen
+class ControlConfig:
+    """Pure-pursuit follower (pure_pursuit_path_follower.py:29-65)."""
+
+    lookahead: float = 2.0
+    max_vel: float = 0.8
+    gain_ang: float = 1.2
+    max_ang: float = 0.8
+    # proximity limiter ego-tube
+    prox_sample_dist: tuple = (0.3, 0.7, 1.1)
+    prox_sample_lat: tuple = (-0.15, 0.0, 0.15)
+    prox_cost_slow: float = 50.0
+    prox_cost_lethal: float = 99.0
+    v_slow: float = 0.4
+    v_lethal: float = 0.15
+    # anti-spin
+    spin_w_thresh: float = 0.5
+    spin_v_thresh: float = 0.05
+    spin_limit_s: float = 5.0
+    spin_cooldown_s: float = 3.0
+    progress_window_s: float = 5.0
+    min_progress_m: float = 0.5
+    # wedge recovery
+    wedge_window_s: float = 4.0
+    wedge_min_disp_m: float = 0.15
+    wedge_backup_s: float = 2.5
+    wedge_backup_v: float = -0.25
+
+
+@_frozen
+class SupervisorConfig:
+    """Turnaround supervisor (turnaround_supervisor.py:37-77)."""
+
+    far_dist: float = 30.0             # must first be >30 m from final point
+    near_radius: float = 10.0          # FIRE when back within this radius
+
+
+@_frozen
+class TeachConfig:
+    """Teach-pass settings (run_teach.sh, chase controller in sim driver)."""
+
+    chase_lookahead: float = 2.0
+    chase_arrive_dist: float = 1.0
+    max_speed: float = 0.85            # effective pursuit speed [m/s]
+    drift_abort_m: float = 10.0        # vio_drift_monitor gate
+    drift_settling_s: float = 60.0
+    dense_wp_ds: float = 0.8
+
+
+@_frozen
+class EvalConfig:
+    """Metric engine thresholds (compute_metrics.py)."""
+
+    wp_tol_m: float = 3.0
+    endpoint_tol_m: float = 10.0
+    subsample_m: float = 4.0
+    drift_log_period: int = 100        # err= line cadence in relay ticks
+
+
+@_frozen
+class VioConfig:
+    """TPU VIO front+back end (capability match for ORB-SLAM3 RGB-D-inertial)."""
+
+    window_kf: int = 10                # sliding window keyframes
+    max_points: int = 128              # landmarks per BA window
+    kf_min_disp: float = 0.5           # new keyframe every 0.5 m
+    gn_iters: int = 8
+    lm_damping: float = 1e-3
+    huber_px: float = 2.0
+    imu_rate_hz: float = 200.0
+    preint_cap: int = 64               # IMU samples per keyframe gap (fixed)
+    # regime/noise parity with vio_th160.yaml calibration
+    noise_acc: float = 0.275
+    noise_gyro: float = 0.017
+
+
+@_frozen
+class LocalizationMode:
+    """Which localization stack drives the repeat pass (ablation axis).
+
+    gt            — perfect localization (debug / speed-of-light baseline)
+    encoder       — encoder+compass dead-reckoning only
+    slam_encoder  — full v55 fusion: VIO + encoder + visual anchors (ours)
+    rgbd_only     — VIO without IMU preintegration (exp 76 baseline)
+    """
+
+    use_slam: bool = True
+    use_anchors: bool = True
+    use_imu: bool = True
+    use_gt: bool = False
+
+
+@_frozen
+class Config:
+    sim: SimConfig = SimConfig()
+    imu: ImuConfig = ImuConfig()
+    camera: CameraConfig = CameraConfig()
+    encoder: EncoderConfig = EncoderConfig()
+    fusion: FusionConfig = FusionConfig()
+    landmarks: LandmarkConfig = LandmarkConfig()
+    map: MapConfig = MapConfig()
+    planner: PlannerConfig = PlannerConfig()
+    control: ControlConfig = ControlConfig()
+    supervisor: SupervisorConfig = SupervisorConfig()
+    teach: TeachConfig = TeachConfig()
+    eval: EvalConfig = EvalConfig()
+    vio: VioConfig = VioConfig()
+    mode: LocalizationMode = LocalizationMode()
+
+    def replace(self, **kw) -> "Config":
+        return dataclasses.replace(self, **kw)
+
+
+DEFAULT = Config()
+
+
+def ours() -> Config:
+    """Full our-stack config (campaign exp 59/64 Pareto point)."""
+    return Config()
+
+
+def gt_localization() -> Config:
+    return Config(mode=LocalizationMode(use_slam=False, use_anchors=False,
+                                        use_imu=False, use_gt=True))
+
+
+def encoder_only() -> Config:
+    return Config(mode=LocalizationMode(use_slam=False, use_anchors=False,
+                                        use_imu=False, use_gt=False))
+
+
+def rgbd_no_imu() -> Config:
+    """exp 76 baseline: VIO without inertial term, no anchors."""
+    return Config(mode=LocalizationMode(use_slam=True, use_anchors=False,
+                                        use_imu=False, use_gt=False))
