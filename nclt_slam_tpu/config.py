@@ -164,6 +164,7 @@ class MapConfig:
     # inflation layer (nav2_planner_defaults.yaml: 0.7 m, cost_scaling 3.0)
     inflation_radius: float = 0.7
     cost_scaling: float = 3.0
+    inscribed_radius: float = 0.4      # robot radius: cost=lethal within this
     obstacle_range: float = 8.0
     update_period: int = 5             # costmap refresh every 5 nav ticks (2 Hz)
 
@@ -181,9 +182,9 @@ class PlannerConfig:
     """Wavefront global planner + dispatcher (send_goals_hybrid.py, NavFn)."""
 
     window: int = 192                  # local planning crop (cells, 19.2 m)
-    sweeps: int = 6                    # fast-sweep rounds (4 directional passes each)
+    sweeps: int = 2                    # Jacobi rounds (x window iterations)
     lethal_cost: float = 99.0
-    cost_weight: float = 0.15          # NavFn-like cost->traversal penalty weight
+    cost_weight: float = 1.0           # NavFn-like cost->traversal penalty weight
     path_len: int = 256                # fixed extracted-path length
     wp_spacing_m: float = 4.0          # teach WP subsample (send_goals --spacing)
     tolerance_m: float = 3.0           # WP reached tolerance

@@ -1,0 +1,258 @@
+"""Waypoint dispatcher — the send_goals_hybrid.py state machine, maskable.
+
+Ports the reference's goal dispatcher behavior (send_goals_hybrid.py):
+teach WPs subsampled at 4 m; per-costmap-update projection of unsafe WPs to
+the nearest low-cost cell (cap 3 m search / 1 m shift); look-ahead skip at
+cost >= 60 with a detour ring fallback (24 samples x radii 4/5/6/7 m, accept
+cost < 30, pick lowest); replan through the wavefront planner; REACH at 3 m
+tolerance; per-WP timeout; plan-fail SKIP after 5 tries; and the
+final-5-WP no-skip/2x-timeout policy.
+
+Divergence control (vmap over routes): the state machine is split into
+``dispatch_move`` (cheap, every tick, all-``where``) and ``dispatch_plan``
+(planner + WP projection + detour, called at a *globally uniform* cadence so
+the expensive branch stays a real ``lax.cond``, not a vmapped select).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from nclt_slam_tpu.config import MapConfig, PlannerConfig
+from nclt_slam_tpu.planning.wavefront import plan_world
+
+
+class DispatchState(NamedTuple):
+    wps: jax.Array            # (W, 2) original teach waypoints
+    wps_proj: jax.Array       # (W, 2) current projected targets
+    n_wps: jax.Array          # () int32
+    skip: jax.Array           # (W,) bool — projection failed
+    idx: jax.Array            # () int32 current WP
+    target: jax.Array         # (2,) current nav target (WP or detour)
+    ticks_on_wp: jax.Array    # () int32
+    plan_fails: jax.Array     # () int32
+    path_xy: jax.Array        # (P, 2) current plan
+    n_path: jax.Array         # () int32
+    has_path: jax.Array       # () bool
+    plan_version: jax.Array   # () int32 — bumps when a new path is accepted
+    reached_count: jax.Array  # () int32
+    skipped_count: jax.Array  # () int32
+    done: jax.Array           # () bool — all WPs consumed
+
+
+def subsample_waypoints(dense_xy: np.ndarray, n_dense: int, cfg: PlannerConfig):
+    """Offline 4 m subsample of the teach path (numpy; feeds fixed arrays).
+
+    Mirrors send_goals_hybrid's subsample(): keep a point when it is >=
+    spacing from the last kept point."""
+    pts = dense_xy[:n_dense]
+    keep = [pts[0]]
+    for p in pts[1:]:
+        if np.hypot(*(p - keep[-1])) >= cfg.wp_spacing_m:
+            keep.append(p)
+    keep = np.asarray(keep, np.float32)
+    n = min(len(keep), cfg.max_waypoints)
+    out = np.zeros((cfg.max_waypoints, 2), np.float32)
+    out[:n] = keep[:n]
+    out[n:] = keep[n - 1]
+    return out, n
+
+
+def init_dispatch(wps, n_wps, cfg: PlannerConfig) -> DispatchState:
+    W = cfg.max_waypoints
+    P = cfg.path_len
+    wps = jnp.asarray(wps, jnp.float32)
+    return DispatchState(
+        wps=wps,
+        wps_proj=wps,
+        n_wps=jnp.int32(n_wps),
+        skip=jnp.zeros(W, bool),
+        idx=jnp.int32(0),
+        target=wps[0],
+        ticks_on_wp=jnp.int32(0),
+        plan_fails=jnp.int32(0),
+        path_xy=jnp.zeros((P, 2), jnp.float32),
+        n_path=jnp.int32(0),
+        has_path=jnp.array(False),
+        plan_version=jnp.int32(0),
+        reached_count=jnp.int32(0),
+        skipped_count=jnp.int32(0),
+        done=jnp.array(False),
+    )
+
+
+def _cost_at(cost_win, win_r0, win_c0, xy, map_cfg: MapConfig, W: int):
+    """Costmap cost at world point; 0 outside the window (unknown = free,
+    same as Nav2 beyond the rolling costmap)."""
+    c = (xy[..., 0] - map_cfg.origin_x) / map_cfg.resolution - win_c0
+    r = (xy[..., 1] - map_cfg.origin_y) / map_cfg.resolution - win_r0
+    ri = jnp.clip(r, 0, W - 1).astype(jnp.int32)
+    ci = jnp.clip(c, 0, W - 1).astype(jnp.int32)
+    inside = (r >= 0) & (r < W) & (c >= 0) & (c < W)
+    return jnp.where(inside, cost_win[ri, ci], 0.0)
+
+
+def _cost_peak_3x3(cost_win, win_r0, win_c0, xy, map_cfg: MapConfig, W: int):
+    """Max cost in the 3x3 neighborhood (send_goals _lookahead_cost)."""
+    offs = jnp.array([[dr, dc] for dr in (-1, 0, 1) for dc in (-1, 0, 1)],
+                     jnp.float32) * map_cfg.resolution
+    pts = xy[None, :] + offs[:, [1, 0]]
+    return _cost_at(cost_win, win_r0, win_c0, pts, map_cfg, W).max()
+
+
+def project_waypoints(state: DispatchState, cost_win, win_r0, win_c0,
+                      map_cfg: MapConfig, cfg: PlannerConfig) -> DispatchState:
+    """Re-project every future WP to the nearest free cell (vectorized BFS
+    replacement: brute-force nearest low-cost cell within the search disc).
+
+    send_goals_hybrid.costmap_cb + _project_wp semantics, incl. the v56-B
+    rule: if the free cell is further than proj_max_shift, keep the original
+    WP; if no free cell within proj_max_search, mark the WP skipped.
+    """
+    W = cfg.window
+    res = map_cfg.resolution
+
+    rows = jnp.arange(W)
+    cols = jnp.arange(W)
+    cell_x = map_cfg.origin_x + (cols[None, :] + win_c0 + 0.5) * res
+    cell_y = map_cfg.origin_y + (rows[:, None] + win_r0 + 0.5) * res
+    free = cost_win < cfg.proj_cost_thresh
+
+    half = W / 2 * res
+    win_cx = map_cfg.origin_x + (win_c0 + W / 2) * res
+    win_cy = map_cfg.origin_y + (win_r0 + W / 2) * res
+
+    def project_one(wp, currently_skipped, active):
+        d2 = (cell_x - wp[0]) ** 2 + (cell_y - wp[1]) ** 2
+        own_cost = _cost_at(cost_win, win_r0, win_c0, wp, map_cfg, W)
+        inside = (jnp.abs(wp[0] - win_cx) < half) & (jnp.abs(wp[1] - win_cy) < half)
+        needs = inside & active & (own_cost >= cfg.proj_cost_thresh)
+
+        d2_free = jnp.where(free, d2, jnp.inf)
+        k = jnp.argmin(d2_free)
+        best_d = jnp.sqrt(d2_free.reshape(-1)[k])
+        br, bc = k // W, k % W
+        bx = map_cfg.origin_x + (bc + win_c0 + 0.5) * res
+        by = map_cfg.origin_y + (br + win_r0 + 0.5) * res
+
+        found = best_d <= cfg.proj_max_search_m
+        keep_orig = best_d > cfg.proj_max_shift_m  # v56-B: keep original
+        new_wp = jnp.where(needs & found & ~keep_orig,
+                           jnp.array([bx, by]), wp)
+        new_skip = jnp.where(needs, ~found, currently_skipped & active)
+        return new_wp, new_skip
+
+    active = (jnp.arange(cfg.max_waypoints) >= state.idx) & \
+             (jnp.arange(cfg.max_waypoints) < state.n_wps)
+    new_wp, new_skip = jax.vmap(project_one)(state.wps, state.skip, active)
+    return state._replace(wps_proj=new_wp, skip=new_skip)
+
+
+def find_detour(cost_win, win_r0, win_c0, wp, map_cfg: MapConfig,
+                cfg: PlannerConfig):
+    """Detour ring: 24 samples per radius, accept cost < detour_max_cost,
+    return lowest-cost candidate (prefer smaller radii like the reference's
+    radius-ordered search)."""
+    angles = 2.0 * jnp.pi * jnp.arange(cfg.detour_samples) / cfg.detour_samples
+    radii = jnp.asarray(cfg.detour_radii)
+    dx = radii[:, None] * jnp.cos(angles)[None, :]
+    dy = radii[:, None] * jnp.sin(angles)[None, :]
+    cand = wp[None, None, :] + jnp.stack([dx, dy], -1)       # (R, S, 2)
+    costs = _cost_at(cost_win, win_r0, win_c0, cand, map_cfg, cfg.window)
+    ring_pen = jnp.arange(len(cfg.detour_radii), dtype=jnp.float32)[:, None] * 1000.0
+    score = jnp.where(costs < cfg.detour_max_cost, costs + ring_pen, jnp.inf)
+    k = jnp.argmin(score)
+    ok = jnp.isfinite(score.reshape(-1)[k])
+    best = cand.reshape(-1, 2)[k]
+    return best, ok
+
+
+def too_close_to_known(xy, known_xy, known_r, known_active,
+                       clearance: float = 0.9):
+    """send_goals _wp_too_close_to_known: costmap-independent clearance
+    check against a-priori known dropped obstacles (KNOWN_CLEARANCE_M 0.9)."""
+    d = jnp.linalg.norm(xy[None, :] - known_xy, axis=-1)
+    return jnp.any(known_active & (d < known_r + clearance))
+
+
+def dispatch_plan(state: DispatchState, robot_xy, cost_win, win_r0, win_c0,
+                  known_xy, known_r, known_active,
+                  map_cfg: MapConfig, cfg: PlannerConfig) -> DispatchState:
+    """Heavy phase — run at a uniform cadence (costmap update ticks):
+    reproject WPs, pick target (WP or detour), run the wavefront planner."""
+    state = project_waypoints(state, cost_win, win_r0, win_c0, map_cfg, cfg)
+
+    idx = jnp.minimum(state.idx, state.n_wps - 1)
+    is_final = idx >= state.n_wps - cfg.final_wp_count
+    wp = state.wps_proj[idx]
+
+    wp_cost = _cost_peak_3x3(cost_win, win_r0, win_c0, wp, map_cfg, cfg.window)
+    known_hit = too_close_to_known(wp, known_xy, known_r, known_active)
+    unsafe = (~is_final) & (known_hit | (wp_cost >= cfg.lookahead_skip_cost))
+
+    def detour_clear(cand):
+        d = jnp.linalg.norm(cand[None, :] - known_xy, axis=-1)
+        return ~jnp.any(known_active & (d < known_r + 0.9))
+
+    detour_xy, detour_ok = find_detour(cost_win, win_r0, win_c0, wp,
+                                       map_cfg, cfg)
+    detour_ok = detour_ok & detour_clear(detour_xy)
+    target = jnp.where(unsafe & detour_ok, detour_xy, wp)
+    # unsafe with no detour -> mark skip (consumed by dispatch_move)
+    skip = state.skip.at[idx].set(state.skip[idx] | (unsafe & ~detour_ok))
+
+    plan = plan_world(cost_win, win_r0, win_c0, robot_xy, target, map_cfg, cfg)
+    plan_good = plan.ok & (plan.n_path > 1)
+
+    return state._replace(
+        target=target,
+        skip=skip,
+        path_xy=jnp.where(plan_good, plan.path_xy, state.path_xy),
+        n_path=jnp.where(plan_good, plan.n_path, state.n_path),
+        has_path=plan_good | state.has_path,
+        plan_version=state.plan_version + jnp.where(plan_good, 1, 0),
+        plan_fails=jnp.where(plan_good, 0, state.plan_fails + 1),
+    )
+
+
+def dispatch_move(state: DispatchState, robot_xy, known_xy, known_r,
+                  known_active, cfg: PlannerConfig) -> DispatchState:
+    """Cheap phase — every tick: reach / skip / timeout / advance."""
+    idx = jnp.minimum(state.idx, state.n_wps - 1)
+    is_final = idx >= state.n_wps - cfg.final_wp_count
+
+    d = jnp.linalg.norm(state.target - robot_xy)
+    reached = d < cfg.tolerance_m
+
+    # v59 late-detect: abandon a target that sits on a known obstacle once
+    # we are close (send_goals follow_waypoint d < 3.0 check)
+    late_detect = (~is_final) & (d < 3.0) & too_close_to_known(
+        state.target, known_xy, known_r, known_active)
+
+    skip_now = (state.skip[idx] | late_detect) & ~is_final
+    max_fails = jnp.where(is_final, 10 ** 6, cfg.max_plan_fails)
+    timeout = jnp.where(is_final, 2 * cfg.goal_timeout_ticks,
+                        cfg.goal_timeout_ticks)
+    fail_skip = (state.plan_fails >= max_fails) | (state.ticks_on_wp >= timeout)
+
+    advance = (reached | skip_now | fail_skip) & ~state.done
+    new_idx = jnp.minimum(state.idx + jnp.where(advance, 1, 0), state.n_wps)
+    done = state.done | (new_idx >= state.n_wps)
+
+    # on advance, aim at the next projected WP until the next plan phase
+    next_wp = state.wps_proj[jnp.minimum(new_idx, state.n_wps - 1)]
+    return state._replace(
+        idx=new_idx,
+        target=jnp.where(advance, next_wp, state.target),
+        ticks_on_wp=jnp.where(advance, 0, state.ticks_on_wp + 1),
+        plan_fails=jnp.where(advance, 0, state.plan_fails),
+        reached_count=state.reached_count
+        + jnp.where(reached & advance, 1, 0),
+        skipped_count=state.skipped_count
+        + jnp.where((skip_now | fail_skip) & ~reached & advance, 1, 0),
+        done=done,
+    )

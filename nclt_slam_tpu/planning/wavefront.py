@@ -1,0 +1,140 @@
+"""Jitted wavefront global planner — the NavFn/A* equivalent.
+
+The reference calls Nav2's C++ NavFn planner over a 0.1 m costmap
+(nav2_planner_defaults.yaml: use_astar, tolerance 1.0).  Heap-based A* is
+hostile to TPUs, so we compute the full potential field by iterated
+8-neighbor min-plus relaxation over a fixed local window (Bellman-Ford /
+value-iteration — each sweep is a handful of rolls + mins on the whole
+window, pure VPU work), then extract the path by steepest descent.  This is
+exactly NavFn's potential-propagation formulation, just parallel-in-space
+instead of queue-ordered.
+
+Costs enter the traversal metric the NavFn way: step_cost = dist * (1 +
+w * cell_cost), lethal cells (>= 99) are impassable.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from nclt_slam_tpu.config import MapConfig, PlannerConfig
+
+BIG = jnp.float32(1e9)
+
+
+class PlanResult(NamedTuple):
+    path_xy: jax.Array     # (path_len, 2) world coords (padded with last)
+    n_path: jax.Array      # () int32 — valid prefix length
+    ok: jax.Array          # () bool — goal potential is finite at start
+    potential: jax.Array   # (window, window) — for debugging/analysis
+
+
+def _neighbor_min(phi, tc, diag_scale):
+    """One relaxation sweep: phi <- min over 8 neighbors of phi_n + cost."""
+
+    def shift(a, dr, dc):
+        a = jnp.roll(a, dr, 0)
+        a = jnp.roll(a, dc, 1)
+        # roll wraps; poison the wrapped edge
+        if dr == 1:
+            a = a.at[0, :].set(BIG)
+        elif dr == -1:
+            a = a.at[-1, :].set(BIG)
+        if dc == 1:
+            a = a.at[:, 0].set(BIG)
+        elif dc == -1:
+            a = a.at[:, -1].set(BIG)
+        return a
+
+    best = phi
+    for dr, dc in ((1, 0), (-1, 0), (0, 1), (0, -1)):
+        best = jnp.minimum(best, shift(phi, dr, dc) + tc)
+    tcd = tc * diag_scale
+    for dr, dc in ((1, 1), (1, -1), (-1, 1), (-1, -1)):
+        best = jnp.minimum(best, shift(phi, dr, dc) + tcd)
+    return best
+
+
+def plan_window(cost, start_rc, goal_rc, map_cfg: MapConfig,
+                cfg: PlannerConfig) -> PlanResult:
+    """Plan inside a (window, window) cost crop.
+
+    start_rc/goal_rc are (row, col) cell coords *within the window* (goal
+    clamped into it by the caller).  Returns the path in window cell space
+    converted to metric offsets by the caller.
+    """
+    W = cfg.window
+    res = map_cfg.resolution
+
+    # per-cell traversal cost factor; lethal cells unreachable
+    lethal = cost >= cfg.lethal_cost
+    tc = res * (1.0 + cfg.cost_weight * cost)
+    tc = jnp.where(lethal, BIG, tc)
+
+    gr, gc = goal_rc
+    phi0 = jnp.full((W, W), BIG).at[gr, gc].set(0.0)
+
+    n_iter = cfg.sweeps * W  # each Jacobi sweep propagates one ring
+
+    def body(_, phi):
+        return jnp.minimum(phi, _neighbor_min(phi, tc, 1.4142135))
+
+    # chunked: check convergence is skipped (fixed trip count keeps XLA happy)
+    phi = jax.lax.fori_loop(0, n_iter, body, phi0)
+
+    sr, sc = start_rc
+    ok = phi[sr, sc] < BIG
+
+    # steepest-descent extraction from the start cell
+    rr = jnp.stack(jnp.meshgrid(jnp.arange(-1, 2), jnp.arange(-1, 2),
+                                indexing="ij"), -1).reshape(9, 2)
+
+    def step(carry, _):
+        r, c, done = carry
+        nr = jnp.clip(r + rr[:, 0], 0, W - 1)
+        nc = jnp.clip(c + rr[:, 1], 0, W - 1)
+        vals = phi[nr, nc]
+        k = jnp.argmin(vals)
+        r2, c2 = nr[k], nc[k]
+        at_goal = (r2 == gr) & (c2 == gc)
+        stuck = (r2 == r) & (c2 == c)
+        r3 = jnp.where(done, r, r2)
+        c3 = jnp.where(done, c, c2)
+        return (r3, c3, done | at_goal | stuck), (r3, c3, ~done)
+
+    (_, _, _), (pr, pc, live) = jax.lax.scan(
+        step, (sr, sc, ~ok), None, length=cfg.path_len)
+    n_path = live.sum().astype(jnp.int32)
+    path_rc = jnp.stack([pr, pc], -1).astype(jnp.float32)
+    return PlanResult(path_xy=path_rc, n_path=n_path, ok=ok, potential=phi)
+
+
+def plan_world(cost_window, win_r0, win_c0, start_xy, goal_xy,
+               map_cfg: MapConfig, cfg: PlannerConfig) -> PlanResult:
+    """Wrapper taking world coords; clamps the goal into the window (like
+    Nav2 planning to the costmap edge toward an out-of-window goal)."""
+    W = cfg.window
+    res = map_cfg.resolution
+
+    def to_win(xy):
+        c = (xy[0] - map_cfg.origin_x) / res - win_c0
+        r = (xy[1] - map_cfg.origin_y) / res - win_r0
+        return (jnp.clip(r, 0, W - 1).astype(jnp.int32),
+                jnp.clip(c, 0, W - 1).astype(jnp.int32))
+
+    start_rc = to_win(start_xy)
+    goal_rc = to_win(goal_xy)
+    res_plan = plan_window(cost_window, start_rc, goal_rc, map_cfg, cfg)
+
+    # window cells -> world coords
+    wx = map_cfg.origin_x + (res_plan.path_xy[:, 1] + win_c0 + 0.5) * res
+    wy = map_cfg.origin_y + (res_plan.path_xy[:, 0] + win_r0 + 0.5) * res
+    path_world = jnp.stack([wx, wy], -1)
+    # pad the tail with the last valid point
+    idx = jnp.minimum(jnp.arange(cfg.path_len), jnp.maximum(res_plan.n_path - 1, 0))
+    path_world = path_world[idx]
+    return PlanResult(path_xy=path_world, n_path=res_plan.n_path,
+                      ok=res_plan.ok, potential=res_plan.potential)

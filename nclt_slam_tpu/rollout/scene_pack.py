@@ -1,0 +1,68 @@
+"""Packing scene/route/drop data into the fixed arrays the rollouts consume."""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from nclt_slam_tpu.config import Config
+from nclt_slam_tpu.planning.dispatcher import subsample_waypoints
+from nclt_slam_tpu.scene.colliders import SceneColliders
+from nclt_slam_tpu.scene.obstacles import RouteDrops, no_drops
+from nclt_slam_tpu.scene.routes import Route
+from nclt_slam_tpu.scene.terrain import terrain_height
+
+
+class PackedScene(NamedTuple):
+    """Static collider arrays: scene colliders followed by the route's drop
+    set.  ``drop_mask`` marks the drop slots so the supervisor FIRE can mask
+    them out at runtime."""
+
+    xy: jnp.ndarray        # (N, 2)
+    radius: jnp.ndarray    # (N,)
+    base_z: jnp.ndarray    # (N,)
+    height: jnp.ndarray    # (N,)
+    valid: jnp.ndarray     # (N,)
+    drop_mask: jnp.ndarray  # (N,) True for drop slots
+
+
+class PackedRoute(NamedTuple):
+    dense_xy: jnp.ndarray     # (DENSE_CAP, 2)
+    n_dense: jnp.ndarray      # () int32
+    spawn: jnp.ndarray        # (2,)
+    spawn_yaw: jnp.ndarray    # ()
+    turnaround: jnp.ndarray   # (2,)
+    wps: jnp.ndarray          # (max_waypoints, 2) 4 m subsample
+    n_wps: jnp.ndarray        # () int32
+
+
+def pack_scene(scene: SceneColliders, drops: RouteDrops | None = None) -> PackedScene:
+    if drops is None:
+        drops = no_drops()
+    xy = np.concatenate([scene.xy, drops.xy], 0)
+    radius = np.concatenate([scene.radius, drops.radius], 0)
+    height = np.concatenate([scene.height, drops.height], 0)
+    valid = np.concatenate([scene.valid, drops.valid], 0)
+    base_z = np.asarray(terrain_height(xy[:, 0], xy[:, 1]))
+    drop_mask = np.concatenate(
+        [np.zeros(len(scene.xy), bool), np.ones(len(drops.xy), bool)], 0)
+    return PackedScene(
+        xy=jnp.asarray(xy), radius=jnp.asarray(radius),
+        base_z=jnp.asarray(base_z), height=jnp.asarray(height),
+        valid=jnp.asarray(valid), drop_mask=jnp.asarray(drop_mask),
+    )
+
+
+def pack_route(route: Route, cfg: Config) -> PackedRoute:
+    wps, n_wps = subsample_waypoints(route.dense_xy, route.n_dense, cfg.planner)
+    return PackedRoute(
+        dense_xy=jnp.asarray(route.dense_xy),
+        n_dense=jnp.int32(route.n_dense),
+        spawn=jnp.asarray(route.spawn, jnp.float32),
+        spawn_yaw=jnp.float32(route.spawn_yaw),
+        turnaround=jnp.asarray(route.turnaround, jnp.float32),
+        wps=jnp.asarray(wps),
+        n_wps=jnp.int32(n_wps),
+    )

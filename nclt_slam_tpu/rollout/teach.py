@@ -1,0 +1,136 @@
+"""Teach pass: one jitted scan that drives the route and builds artefacts.
+
+Replaces the reference's 5-process teach graph (run_teach.sh: Isaac sim +
+VIO + GT relay + drift monitor + depth mapper + landmark recorder) with one
+pure function.  The chase controller reproduces the sim driver's auto-route
+pure pursuit (run_husky_forest.py:942-1058: 2 m lookahead within the next
+10 WPs, arrive at < 1 m, three-tier speed/steer schedule); the depth mapper
+accumulates the log-odds teach map; per-tick GT poses become the
+``vio_pose_dense`` artefact the repeat pass subsamples into waypoints.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from nclt_slam_tpu.config import Config
+from nclt_slam_tpu.dynamics.diffdrive import RobotState, init_robot, nav_substeps, robot_pose3d
+from nclt_slam_tpu.mapping.occupancy import empty_grid, integrate_depth, occupancy_trinary
+from nclt_slam_tpu.rollout.scene_pack import PackedRoute, PackedScene
+from nclt_slam_tpu.sensors.depth import render_depth
+
+CHASE_WINDOW = 16  # WP lookahead window (reference scans next 10)
+
+
+class TeachCarry(NamedTuple):
+    robot: RobotState
+    grid: jax.Array        # log-odds teach map
+    chase_idx: jax.Array   # () int32 current dense WP
+    key: jax.Array
+    done: jax.Array        # () bool — route complete
+
+
+class TeachTrace(NamedTuple):
+    gt_xy: jax.Array       # (T, 2)
+    gt_yaw: jax.Array      # (T,)
+    done: jax.Array        # (T,) bool
+    cmd_v: jax.Array       # (T,)
+
+
+class TeachResult(NamedTuple):
+    trace: TeachTrace
+    teach_grid: jax.Array  # trinary int8 map
+    n_ticks: jax.Array     # () int32 valid tick count
+    final_robot: RobotState
+
+
+def _chase_cmd(robot: RobotState, route: PackedRoute, chase_idx, cfg: Config):
+    """Sim-driver auto-route pure pursuit (2 m lookahead, 3-tier steering)."""
+    t = cfg.teach
+    # committed-goal semantics (run_husky_forest.py:943-1031): drive at WP
+    # ``chase_idx`` until within arrive_dist, then jump to the first WP in
+    # the next window that is >= lookahead away.
+    goal = route.dense_xy[jnp.minimum(chase_idx, route.n_dense - 1)]
+    d_goal = jnp.linalg.norm(goal - robot.xy)
+    arrived = d_goal < t.chase_arrive_dist
+
+    offs = jnp.arange(CHASE_WINDOW)
+    idxs = jnp.minimum(chase_idx + 1 + offs, route.n_dense - 1)
+    d = jnp.linalg.norm(route.dense_xy[idxs] - robot.xy[None, :], axis=-1)
+    far = d >= t.chase_lookahead
+    next_idx = jnp.where(jnp.any(far), chase_idx + 1 + jnp.argmax(far),
+                         chase_idx + 1)
+    new_idx = jnp.where(arrived, jnp.minimum(next_idx, route.n_dense), chase_idx)
+    tgt = route.dense_xy[jnp.minimum(new_idx, route.n_dense - 1)]
+
+    err = jnp.arctan2(tgt[1] - robot.xy[1], tgt[0] - robot.xy[0]) - robot.yaw
+    err = jnp.arctan2(jnp.sin(err), jnp.cos(err))
+
+    # 3-tier schedule scaled to the effective max speed
+    scale = t.max_speed / 0.25
+    big = jnp.abs(err) > 0.5
+    med = (~big) & (jnp.abs(err) > 0.15)
+    v = jnp.where(big, 0.10, jnp.where(med, 0.18, 0.25)) * scale
+    w = jnp.where(big, jnp.clip(err * 1.8, -0.5, 0.5),
+                  jnp.where(med, jnp.clip(err * 1.5, -0.35, 0.35),
+                            jnp.clip(err * 1.2, -0.2, 0.2)))
+    done = (chase_idx >= route.n_dense - 1) & arrived
+    return v, w, new_idx, done
+
+
+def teach_step(carry: TeachCarry, tick, scene: PackedScene, route: PackedRoute,
+               cfg: Config):
+    key, k_dyn, k_map = jax.random.split(carry.key, 3)
+
+    v, w, chase_idx, done = _chase_cmd(carry.robot, route, carry.chase_idx, cfg)
+    v = jnp.where(carry.done, 0.0, v)
+    w = jnp.where(carry.done, 0.0, w)
+
+    robot, _ = nav_substeps(
+        carry.robot, v, w, scene.xy, scene.radius, scene.valid, k_dyn, cfg.sim)
+
+    # depth mapping at the costmap cadence (2 Hz) — uniform predicate so the
+    # raycast stays a real cond under vmap
+    def do_map(g):
+        pos3, _ = robot_pose3d(robot)
+        depth, pts, valid = render_depth(
+            pos3, robot.yaw, scene.xy, scene.radius, scene.base_z,
+            scene.height, scene.valid, cfg.camera)
+        return integrate_depth(g, robot.xy, pts.reshape(-1, 3),
+                               valid.reshape(-1), cfg.map)
+
+    grid = jax.lax.cond(tick % cfg.map.update_period == 0, do_map,
+                        lambda g: g, carry.grid)
+
+    trace = TeachTrace(gt_xy=robot.xy, gt_yaw=robot.yaw,
+                       done=carry.done | done, cmd_v=v)
+    return TeachCarry(robot=robot, grid=grid, chase_idx=chase_idx, key=key,
+                      done=carry.done | done), trace
+
+
+def run_teach(scene: PackedScene, route: PackedRoute, cfg: Config,
+              n_ticks: int, seed: int = 0) -> TeachResult:
+    """Roll the full teach pass.  ``n_ticks`` is static (scan length)."""
+    robot = init_robot(route.spawn[0], route.spawn[1], route.spawn_yaw)
+    carry = TeachCarry(
+        robot=robot,
+        grid=empty_grid(cfg.map),
+        chase_idx=jnp.int32(0),
+        key=jax.random.PRNGKey(seed),
+        done=jnp.array(False),
+    )
+
+    def body(c, t):
+        return teach_step(c, t, scene, route, cfg)
+
+    carry, trace = jax.lax.scan(body, carry, jnp.arange(n_ticks))
+    n_valid = (~trace.done).sum().astype(jnp.int32)
+    return TeachResult(
+        trace=trace,
+        teach_grid=occupancy_trinary(carry.grid, cfg.map),
+        n_ticks=n_valid,
+        final_robot=carry.robot,
+    )
