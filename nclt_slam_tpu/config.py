@@ -121,6 +121,9 @@ class LandmarkConfig:
     feats_per_landmark: int = 96       # fixed per-landmark feature cap
     ground_v_threshold: float = 180.0  # below-horizon pixel gate (recorder v>180)
     depth_patch_std_max: float = 0.30  # 3x3 depth std gate [m]
+    record_min_feats: int = 12         # min gated 3-D points per landmark
+                                       # (reference: 30 of 500 ORB feats; we
+                                       # observe ~100 model feats per frame)
     # matcher (gates from matcher.py:54-89)
     candidate_radius_m: float = 8.0
     max_candidates: int = 5

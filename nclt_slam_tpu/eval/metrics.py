@@ -1,0 +1,186 @@
+"""Metric engine — port of the reference's thesis metrics.
+
+compute_metrics.py semantics, bit-comparable where the inputs align:
+- directional WP coverage: split teach WPs and the GT trace at the
+  turnaround; an outbound WP counts only if the outbound GT half passes
+  within 3 m, a return WP only against the return half (:94-129)
+- endpoint success: min distance to turnaround over the run ("reach") and
+  final distance to spawn ("return"), 10 m threshold (:132-149)
+- drift mean/p95/max from |nav - gt| sampled at the relay's logging cadence
+  (the reference regex-scrapes ``err=N.Nm`` lines at 1/100 ticks; we sample
+  the same quantity from the trace) (:152-167)
+
+Plus the trajectory-benchmark metrics the dataset pipelines use (ATE/RPE
+with 2-D alignment, incl. the 4-flip handedness-robust Procrustes of
+vio_drift_monitor.compute_drift:53-86).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+# ---------------------------------------------------------------------------
+# campaign metrics (compute_metrics.py port)
+# ---------------------------------------------------------------------------
+
+def subsample_wps(pts: np.ndarray, spacing: float = 4.0) -> np.ndarray:
+    """send_goals-style >= spacing subsample (first point kept)."""
+    if len(pts) == 0:
+        return pts
+    keep = [pts[0]]
+    for p in pts[1:]:
+        if np.hypot(*(p - keep[-1])) >= spacing:
+            keep.append(p)
+    return np.asarray(keep)
+
+
+def wp_coverage(gt_pts: np.ndarray, wps: np.ndarray, turnaround_xy,
+                r_tol: float = 3.0):
+    """Directional WP coverage for an out-and-back route."""
+    if len(gt_pts) == 0 or len(wps) == 0:
+        return 0, len(wps), []
+    n = len(wps)
+    tx, ty = turnaround_xy
+    t_idx = int(np.argmin(np.hypot(gt_pts[:, 0] - tx, gt_pts[:, 1] - ty)))
+    mid_wp = int(np.argmin(np.hypot(wps[:, 0] - tx, wps[:, 1] - ty)))
+    outbound_gt = gt_pts[: t_idx + 1] if t_idx >= 0 else gt_pts
+    return_gt = gt_pts[t_idx:] if t_idx < len(gt_pts) else gt_pts[-1:]
+
+    visited = 0
+    per_wp = []
+    for i, (wx, wy) in enumerate(wps):
+        src = outbound_gt if i <= mid_wp else return_gt
+        d = float(np.hypot(src[:, 0] - wx, src[:, 1] - wy).min())
+        per_wp.append(d)
+        if d < r_tol:
+            visited += 1
+    return visited, n, per_wp
+
+
+def endpoint_metrics(gt_pts: np.ndarray, spawn_xy, turnaround_xy,
+                     tol: float = 10.0):
+    """(final_min_dist, return_dist, reached_final, returned_spawn)."""
+    if len(gt_pts) == 0:
+        return None, None, False, False
+    tx, ty = turnaround_xy
+    final_d = float(np.hypot(gt_pts[:, 0] - tx, gt_pts[:, 1] - ty).min())
+    sx, sy = spawn_xy
+    return_d = float(np.hypot(gt_pts[-1, 0] - sx, gt_pts[-1, 1] - sy))
+    return final_d, return_d, final_d < tol, return_d < tol
+
+
+def drift_metrics(nav_xy: np.ndarray, gt_xy: np.ndarray, period: int = 100):
+    """mean/p95/max of |nav - gt| sampled every ``period`` ticks (the
+    reference's err= log cadence)."""
+    if len(nav_xy) == 0:
+        return None, None, None, 0
+    errs = np.hypot(*(nav_xy[::period] - gt_xy[::period]).T)
+    errs = np.sort(errs)
+    n = len(errs)
+    if n == 0:
+        return None, None, None, 0
+    p95 = errs[min(n - 1, int(round(0.95 * (n - 1))))]
+    return float(errs.mean()), float(p95), float(errs[-1]), n
+
+
+def route_metrics(gt_xy: np.ndarray, nav_xy: np.ndarray, teach_wps: np.ndarray,
+                  spawn_xy, turnaround_xy, wp_tol=3.0, endpoint_tol=10.0,
+                  drift_period=100) -> dict:
+    """Full scan_run equivalent on in-memory traces."""
+    path_m = float(np.hypot(*np.diff(gt_xy, axis=0).T).sum()) if len(gt_xy) > 1 else 0.0
+    v, t, _ = wp_coverage(gt_xy, teach_wps, turnaround_xy, wp_tol)
+    final_d, return_d, rf, rs = endpoint_metrics(gt_xy, spawn_xy, turnaround_xy,
+                                                 endpoint_tol)
+    m_mean, m_p95, m_max, m_n = drift_metrics(nav_xy, gt_xy, drift_period)
+    return {
+        "gt_samples": int(len(gt_xy)),
+        "path_m": path_m,
+        "cov_visited": v, "cov_total": t,
+        "cov_pct": 100.0 * v / t if t else None,
+        "final_d": final_d, "return_d": return_d,
+        "reached_final": bool(rf), "returned_spawn": bool(rs),
+        "drift_mean": m_mean, "drift_p95": m_p95, "drift_max": m_max,
+        "drift_n": m_n,
+    }
+
+
+def aggregate_metrics(per_route: dict[str, dict]) -> dict:
+    """Campaign aggregate (the reference's bottom table)."""
+    rows = list(per_route.values())
+    covs = [r["cov_pct"] for r in rows if r["cov_pct"] is not None]
+    drifts = [r["drift_mean"] for r in rows if r["drift_mean"] is not None]
+    return {
+        "routes": len(rows),
+        "reach": sum(1 for r in rows if r["reached_final"]),
+        "return": sum(1 for r in rows if r["returned_spawn"]),
+        "full_success": sum(1 for r in rows
+                            if r["reached_final"] and r["returned_spawn"]),
+        "avg_coverage_pct": float(np.mean(covs)) if covs else None,
+        "avg_drift_mean": float(np.mean(drifts)) if drifts else None,
+        "avg_final_d": float(np.mean([r["final_d"] for r in rows
+                                      if r["final_d"] is not None])),
+    }
+
+
+# ---------------------------------------------------------------------------
+# trajectory benchmarks (ATE / RPE / Procrustes drift)
+# ---------------------------------------------------------------------------
+
+def procrustes_drift_2d(vio_xyz: np.ndarray, gt_xy: np.ndarray):
+    """Handedness-robust 2-D Procrustes VIO->GT (vio_drift_monitor port):
+    picks the two highest-variance VIO axes, tries all four axis-flips,
+    rotation+translation aligns each, returns (max, mean) residual of the
+    best."""
+    variances = np.var(vio_xyz, axis=0)
+    h0, h1 = np.argsort(variances)[::-1][:2]
+    xv_base, yv_base = vio_xyz[:, h0], vio_xyz[:, h1]
+    xg, yg = gt_xy[:, 0], gt_xy[:, 1]
+    cx_g, cy_g = xg.mean(), yg.mean()
+    dxg, dyg = xg - cx_g, yg - cy_g
+
+    best = None
+    for fx, fy in ((1, 1), (-1, 1), (1, -1), (-1, -1)):
+        xv, yv = xv_base * fx, yv_base * fy
+        dxv, dyv = xv - xv.mean(), yv - yv.mean()
+        a = (dxv * dxg + dyv * dyg).sum()
+        b = (dxv * dyg - dyv * dxg).sum()
+        th = np.arctan2(b, a)
+        c, s = np.cos(th), np.sin(th)
+        rx = c * dxv - s * dyv + cx_g
+        ry = s * dxv + c * dyv + cy_g
+        err = np.hypot(rx - xg, ry - yg)
+        if best is None or err.mean() < best.mean():
+            best = err
+    return float(best.max()), float(best.mean())
+
+
+def align_umeyama_2d(est: np.ndarray, gt: np.ndarray, with_scale=False):
+    """2-D Umeyama alignment est->gt.  Returns (R, t, s)."""
+    mu_e, mu_g = est.mean(0), gt.mean(0)
+    ec, gc = est - mu_e, gt - mu_g
+    cov = gc.T @ ec / len(est)
+    U, D, Vt = np.linalg.svd(cov)
+    S = np.eye(2)
+    if np.linalg.det(U) * np.linalg.det(Vt) < 0:
+        S[1, 1] = -1
+    R = U @ S @ Vt
+    s = float((D * S.diagonal()).sum() / (ec ** 2).sum() * len(est)) if with_scale else 1.0
+    t = mu_g - s * R @ mu_e
+    return R, t, s
+
+
+def ate_rmse(est: np.ndarray, gt: np.ndarray, with_scale=False) -> float:
+    """Absolute trajectory error RMSE after 2-D (Sim/SE) alignment — the
+    NCLT/RobotCar evaluation metric (datasets/*/evaluation/metrics.py)."""
+    R, t, s = align_umeyama_2d(est, gt, with_scale)
+    aligned = (s * (R @ est.T)).T + t
+    return float(np.sqrt(((aligned - gt) ** 2).sum(-1).mean()))
+
+
+def rpe_rmse(est: np.ndarray, gt: np.ndarray, delta: int = 10) -> float:
+    """Relative pose (translation) error RMSE over ``delta``-step intervals."""
+    e = est[delta:] - est[:-delta]
+    g = gt[delta:] - gt[:-delta]
+    return float(np.sqrt(((np.linalg.norm(e, axis=-1)
+                           - np.linalg.norm(g, axis=-1)) ** 2).mean()))

@@ -1,0 +1,198 @@
+"""Repeat-time visual anchor matcher (visual_landmark_matcher.py port).
+
+2 Hz anchor attempts: pick teach landmarks within 8 m of the VIO pose with
+heading within 90° (top-5 by distance), match descriptors with a mutual
+cross-check, solve the relative camera pose teach->live with batched
+RANSAC (vmapped 3-point Kabsch hypotheses scored by 2-D reprojection — the
+TPU-shaped equivalent of solvePnPRansac ITERATIVE/200it/3px), apply the
+reference's gates (>= 10 matches, >= 10 inliers, median reproj <= 2 px),
+compose the anchor pose through the teach camera's world pose, reject
+anchors > 5 m from VIO, and map inlier count -> anchor std
+(25 -> 0.05, 15 -> 0.2).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from nclt_slam_tpu.config import CameraConfig, LandmarkConfig
+from nclt_slam_tpu.landmarks.store import LandmarkStore
+from nclt_slam_tpu.sensors.features import Observation, cross_check_match
+
+
+class AnchorResult(NamedTuple):
+    xy: jnp.ndarray        # (2,) anchor base position (world)
+    std: jnp.ndarray       # ()
+    ok: jnp.ndarray        # () bool — published
+    n_inliers: jnp.ndarray
+    reproj: jnp.ndarray
+    reason: jnp.ndarray    # () int32 outcome code (for anchor_matches.csv)
+
+
+# outcome codes (anchor_matches.csv 'outcome' column equivalents)
+R_PUBLISHED = 0
+R_NO_CANDIDATES = 1
+R_NO_FEATURES = 2
+R_NO_PNP_ACCEPT = 3
+R_CONSISTENCY_FAIL = 4
+
+
+def _kabsch(P, Q, w):
+    """Weighted rigid alignment R,t with R @ P + t ~= Q.  P,Q (N,3), w (N,)."""
+    wsum = jnp.maximum(w.sum(), 1e-6)
+    mp = (P * w[:, None]).sum(0) / wsum
+    mq = (Q * w[:, None]).sum(0) / wsum
+    Pc = (P - mp) * w[:, None]
+    Qc = Q - mq
+    H = Pc.T @ Qc
+    U, S, Vt = jnp.linalg.svd(H)
+    d = jnp.sign(jnp.linalg.det(Vt.T @ U.T))
+    D = jnp.diag(jnp.array([1.0, 1.0, 1.0]) * jnp.array([1.0, 1.0, 0.0])
+                 + jnp.array([0.0, 0.0, 1.0]) * d)
+    R = Vt.T @ D @ U.T
+    t = mq - R @ mp
+    return R, t
+
+
+def _project(p_cam, cam: CameraConfig):
+    z = jnp.maximum(p_cam[..., 2], 1e-6)
+    u = cam.fx * p_cam[..., 0] / z + cam.cx
+    v = cam.fy * p_cam[..., 1] / z + cam.cy
+    return jnp.stack([u, v], -1)
+
+
+def ransac_pose(p3d_teach, uv_live, p3d_live, pair_valid, key,
+                cam: CameraConfig, cfg: LandmarkConfig):
+    """RANSAC T_live_teach from matched (teach 3-D, live 2-D/3-D) pairs.
+
+    Returns (R, t, n_inliers, median_reproj, ok)."""
+    F = p3d_teach.shape[0]
+    H = cfg.ransac_iterations
+
+    # sample minimal sets from the compacted matched pool, not the raw slot
+    # array (most slots are unmatched padding)
+    pool = jnp.argsort(~pair_valid)          # matched indices first
+    n_pairs = pair_valid.sum()
+    j = jax.random.randint(key, (H, 3), 0, jnp.maximum(n_pairs, 1))
+    idx = pool[j]
+    distinct = (j[:, 0] != j[:, 1]) & (j[:, 1] != j[:, 2]) & \
+               (j[:, 0] != j[:, 2])
+    hyp_ok = distinct & (n_pairs >= 3)
+
+    def solve(ix):
+        P = p3d_teach[ix]
+        Q = p3d_live[ix]
+        return _kabsch(P, Q, jnp.ones(3))
+
+    Rs, ts = jax.vmap(solve)(idx)                     # (H,3,3), (H,3)
+
+    # score by reprojection of ALL teach points into the live image
+    pred = jnp.einsum("hij,fj->hfi", Rs, p3d_teach) + ts[:, None, :]
+    uv_pred = _project(pred, cam)
+    err = jnp.linalg.norm(uv_pred - uv_live[None], axis=-1)  # (H, F)
+    inl = (err < cfg.ransac_reproj_px) & pair_valid[None, :]
+    n_inl = jnp.where(hyp_ok, inl.sum(-1), -1)
+    best = jnp.argmax(n_inl)
+
+    # refine on the best hypothesis' inliers
+    w = inl[best].astype(jnp.float32)
+    R_ref, t_ref = _kabsch(p3d_teach, p3d_live, w)
+    pred = p3d_teach @ R_ref.T + t_ref
+    err = jnp.linalg.norm(_project(pred, cam) - uv_live, axis=-1)
+    inl_f = (err < cfg.ransac_reproj_px) & pair_valid
+    n_f = inl_f.sum()
+
+    # median reprojection over final inliers
+    err_sorted = jnp.sort(jnp.where(inl_f, err, jnp.inf))
+    med = err_sorted[jnp.maximum((n_f - 1) // 2, 0)]
+
+    ok = (n_f >= cfg.min_inliers) & (med <= cfg.reproj_max_px) & (n_inl[best] > 0)
+    return R_ref, t_ref, n_f, med, ok
+
+
+def match_tick(store: LandmarkStore, obs: Observation, vio_xy, vio_heading,
+               base_pos_vio, key, cam: CameraConfig,
+               cfg: LandmarkConfig) -> AnchorResult:
+    """One 2 Hz anchor attempt."""
+    L = cfg.max_landmarks
+    lm_valid = jnp.arange(L) < store.count
+
+    # candidate gate: distance < 8 m AND heading within 90° (matcher:291-302)
+    d = jnp.linalg.norm(store.cam_pos[:, :2] - vio_xy[None, :], axis=-1)
+    hdg_err = jnp.abs(jnp.arctan2(jnp.sin(store.cam_yaw - vio_heading),
+                                  jnp.cos(store.cam_yaw - vio_heading)))
+    cand = lm_valid & (d < cfg.candidate_radius_m) & \
+        (hdg_err < jnp.deg2rad(cfg.heading_tol_deg))
+    d_masked = jnp.where(cand, d, jnp.inf)
+    top = jnp.argsort(d_masked)[: cfg.max_candidates]
+    top_ok = jnp.isfinite(d_masked[top])
+    any_cand = jnp.any(top_ok)
+
+    live_valid = obs.valid
+    enough_live = live_valid.sum() >= cfg.min_matches
+
+    keys = jax.random.split(key, cfg.max_candidates)
+
+    def try_candidate(li, li_ok, k):
+        t_desc = store.desc[li]
+        t_valid = store.feat_valid[li]
+        m_idx, matched = cross_check_match(t_desc, t_valid, obs.desc, live_valid)
+        n_match = matched.sum()
+        enough = n_match >= cfg.min_matches
+
+        p3d_t = store.p3d_cam[li]
+        uv_l = obs.uv[m_idx]
+        p3d_l = obs.p3d_cam[m_idx]
+        R, t, n_inl, med, pnp_ok = ransac_pose(
+            p3d_t, uv_l, p3d_l, matched, k, cam, cfg)
+
+        # compose: teach-cam world pose ∘ (T_live_teach)^-1 -> live cam world
+        # (matcher:361-378, with yaw-only camera world poses)
+        cyaw = store.cam_yaw[li]
+        c, s = jnp.cos(cyaw), jnp.sin(cyaw)
+        # world_from_teachcam rotation (FLU yaw ∘ base->cam axes)
+        from nclt_slam_tpu.sensors.depth import R_BASE_CAM
+        R_w_t = jnp.array([[c, -s, 0.0], [s, c, 0.0], [0.0, 0.0, 1.0]]) @ R_BASE_CAM
+        # live cam pose in teach cam frame: inverse of T_live_teach
+        R_t_l = R.T
+        t_t_l = -R.T @ t
+        cam_world = store.cam_pos[li] + R_w_t @ t_t_l
+        ok = li_ok & enough & pnp_ok
+        return ok, n_inl, med, cam_world
+
+    oks, n_inls, meds, cam_worlds = jax.vmap(try_candidate)(top, top_ok, keys)
+    score = jnp.where(oks, n_inls, -1)
+    best = jnp.argmax(score)
+    best_ok = oks[best] & enough_live
+
+    cam_world = cam_worlds[best]
+    # camera world -> base world (reverse the forward camera offset)
+    # heading from VIO (anchor orientation is taken loosely; the relay only
+    # consumes x, y — v55 uses encoder yaw)
+    bx = cam_world[0] - cam.cam_offset_fwd * jnp.cos(vio_heading)
+    by = cam_world[1] - cam.cam_offset_fwd * jnp.sin(vio_heading)
+    anchor_xy = jnp.stack([bx, by])
+
+    # consistency gate vs VIO (5 m)
+    cons_d = jnp.linalg.norm(anchor_xy - vio_xy)
+    consistent = cons_d <= cfg.consistency_m
+    published = best_ok & consistent
+
+    # covariance model (matcher:399-410)
+    n_inl = n_inls[best]
+    std = jnp.where(
+        n_inl >= cfg.inlier_hi, cfg.std_good,
+        jnp.where(n_inl >= cfg.inlier_lo,
+                  cfg.std_good + 0.15 * (cfg.inlier_hi - n_inl) / 10.0,
+                  cfg.std_bad))
+
+    reason = jnp.where(published, R_PUBLISHED,
+                       jnp.where(~enough_live, R_NO_FEATURES,
+                                 jnp.where(~any_cand, R_NO_CANDIDATES,
+                                           jnp.where(best_ok, R_CONSISTENCY_FAIL,
+                                                     R_NO_PNP_ACCEPT))))
+    return AnchorResult(xy=anchor_xy, std=std, ok=published,
+                        n_inliers=n_inl, reproj=meds[best], reason=reason)

@@ -1,0 +1,105 @@
+"""Campaign orchestration: all routes × ablations as one vmapped rollout.
+
+The reference runs its 15-route campaign sequentially, one OS-process-graph
+at a time, 12-87 min per route (routes/README.md:24-40).  Here the whole
+campaign is a single batched program: teach passes vmapped over routes, then
+repeat passes vmapped over routes (and optionally over ablation configs by
+calling again with a different Config).  On multiple chips the route axis
+shards over the mesh (see nclt_slam_tpu.parallel).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from nclt_slam_tpu.config import Config
+from nclt_slam_tpu.eval.metrics import aggregate_metrics, route_metrics
+from nclt_slam_tpu.planning.dispatcher import subsample_waypoints
+from nclt_slam_tpu.rollout.repeat import RepeatResult, run_repeat
+from nclt_slam_tpu.rollout.scene_pack import pack_route, pack_scene
+from nclt_slam_tpu.rollout.teach import TeachResult, run_teach
+from nclt_slam_tpu.scene.colliders import default_scene
+from nclt_slam_tpu.scene.obstacles import build_drops, no_drops
+from nclt_slam_tpu.scene.routes import ALL_ROUTES, get_route
+
+
+@jax.tree_util.register_dataclass
+@dataclass
+class CampaignData:
+    """Stacked (leading route axis) static inputs for the batched rollouts.
+    ``names`` is static pytree metadata (strings can't cross jit)."""
+
+    scenes_teach: object   # PackedScene, stacked (no drops)
+    scenes_repeat: object  # PackedScene, stacked (with per-route drops)
+    routes: object         # PackedRoute, stacked
+    names: tuple = field(default=(), metadata={"static": True})
+
+
+def _stack(trees):
+    return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *trees)
+
+
+def build_campaign(route_names=None, seed: int = 7, cfg: Config | None = None,
+                   with_drops: bool = True) -> CampaignData:
+    from nclt_slam_tpu import config as cfg_mod
+    cfg = cfg or cfg_mod.DEFAULT
+    names = route_names or ALL_ROUTES
+    scene = default_scene(seed)
+    routes = [get_route(n, seed) for n in names]
+    scenes_teach = _stack([pack_scene(scene, no_drops()) for _ in routes])
+    scenes_repeat = _stack([
+        pack_scene(scene, build_drops(r) if with_drops else no_drops())
+        for r in routes])
+    packed_routes = _stack([pack_route(r, cfg) for r in routes])
+    return CampaignData(scenes_teach=scenes_teach, scenes_repeat=scenes_repeat,
+                        routes=packed_routes, names=tuple(names))
+
+
+def run_campaign_teach(data: CampaignData, cfg: Config,
+                       n_ticks: int) -> TeachResult:
+    f = jax.vmap(lambda sc, rt: run_teach(sc, rt, cfg, n_ticks))
+    return f(data.scenes_teach, data.routes)
+
+
+def teach_waypoints(data: CampaignData, teach: TeachResult, cfg: Config):
+    """Teach artefact -> repeat WP lists, replicating the reference flow:
+    repeat WPs come from the teach run's dense GT (vio_pose_dense.csv at
+    4 m), not from the planned route."""
+    wps_list, n_list = [], []
+    gt = np.asarray(teach.trace.gt_xy)        # (R, T, 2)
+    done = np.asarray(teach.trace.done)
+    for i in range(gt.shape[0]):
+        live = gt[i][~done[i]]
+        wps, n = subsample_waypoints(live, len(live), cfg.planner)
+        wps_list.append(wps)
+        n_list.append(n)
+    return jnp.asarray(np.stack(wps_list)), jnp.asarray(np.asarray(n_list))
+
+
+def run_campaign_repeat(data: CampaignData, teach_grids, wps, n_wps,
+                        cfg: Config, n_ticks: int) -> RepeatResult:
+    f = jax.vmap(lambda sc, rt, tg, wp, nw: run_repeat(
+        sc, rt, tg, wp, nw, cfg, n_ticks))
+    return f(data.scenes_repeat, data.routes, teach_grids, wps, n_wps)
+
+
+def campaign_metrics(data: CampaignData, repeat: RepeatResult, wps, n_wps,
+                     cfg: Config) -> tuple[dict, dict]:
+    """Post-hoc metric engine over the batched traces (compute_metrics.py)."""
+    gt = np.asarray(repeat.trace.gt_xy)
+    nav = np.asarray(repeat.trace.nav_xy)
+    wps_np = np.asarray(wps)
+    n_np = np.asarray(n_wps)
+    per_route = {}
+    for i, name in enumerate(data.names):
+        spawn = np.asarray(data.routes.spawn[i])
+        turn = np.asarray(data.routes.turnaround[i])
+        per_route[name] = route_metrics(
+            gt[i], nav[i], wps_np[i][: n_np[i]], spawn, turn,
+            wp_tol=cfg.eval.wp_tol_m, endpoint_tol=cfg.eval.endpoint_tol_m,
+            drift_period=cfg.eval.drift_log_period)
+    return per_route, aggregate_metrics(per_route)

@@ -134,8 +134,10 @@ def repeat_step(carry: RepeatCarry, tick, scene: PackedScene,
     robot, _ = nav_substeps(robot, v, w, scene.xy, scene.radius, valid_now,
                             k_dyn, cfg.sim)
 
+    # gt is sampled at the same instant the localization output was computed
+    # (pre-step), matching the reference relay's err= logging
     trace = RepeatTrace(
-        gt_xy=robot.xy, gt_yaw=robot.yaw, nav_xy=nav_xy,
+        gt_xy=carry.robot.xy, gt_yaw=carry.robot.yaw, nav_xy=nav_xy,
         wp_idx=dispatch.idx, cmd_v=v, done=dispatch.done, fired=sup.fired)
     return RepeatCarry(robot=robot, ctrl=ctrl, dispatch=dispatch, sup=sup,
                        grid_live=grid_live, cost_win=cost_win,

@@ -1,0 +1,168 @@
+"""Feature observation model — the framework's ORB replacement.
+
+The reference extracts ORB keypoints from rendered RGB (recorder 500 feats,
+matcher 500, VIO 3000).  We have no photoreal renderer; instead the scene
+itself carries persistent visual landmarks: every collider exposes a ring of
+surface feature points, each with a fixed 256-bit binary descriptor derived
+deterministically from (collider id, feature id).  An observation projects
+the visible points through the pinhole camera, applies occlusion and
+image-bound gates, and flips a few random descriptor bits — so descriptor
+matching, false-match statistics, and PnP behave like the real pipeline
+without rasterizing images (SURVEY.md hard part #3).
+
+All shapes are fixed: the scene exposes S = N_colliders x FEATS_PER_OBJ
+world points; an observation returns the best ``max_obs`` by pixel validity.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from nclt_slam_tpu.config import CameraConfig, LandmarkConfig
+from nclt_slam_tpu.sensors.depth import camera_pose
+
+FEATS_PER_OBJ = 8  # half on the trunk, half on the ground apron around it
+
+
+class SceneFeatures(NamedTuple):
+    xyz: jnp.ndarray     # (S, 3) world feature points
+    desc: jnp.ndarray    # (S, desc_words) uint32 descriptors
+    owner: jnp.ndarray   # (S,) collider index
+    valid: jnp.ndarray   # (S,)
+
+
+def build_scene_features(obs_xy: np.ndarray, obs_r: np.ndarray,
+                         obs_base_z: np.ndarray, obs_h: np.ndarray,
+                         obs_valid: np.ndarray, cfg: LandmarkConfig,
+                         seed: int = 123) -> SceneFeatures:
+    """Deterministic surface feature points + descriptors (numpy, offline)."""
+    rng = np.random.RandomState(seed)
+    N = len(obs_xy)
+    S = N * FEATS_PER_OBJ
+    xyz = np.zeros((S, 3), np.float32)
+    owner = np.repeat(np.arange(N, dtype=np.int32), FEATS_PER_OBJ)
+    valid = np.repeat(np.asarray(obs_valid, bool), FEATS_PER_OBJ)
+    half = FEATS_PER_OBJ // 2
+    for i in range(N):
+        for k in range(FEATS_PER_OBJ):
+            ang = rng.uniform(0, 2 * np.pi)
+            j = i * FEATS_PER_OBJ + k
+            if k < half:
+                # trunk/surface features on the collider wall
+                frac = rng.uniform(0.15, 0.9)
+                xyz[j, 0] = obs_xy[i, 0] + obs_r[i] * np.cos(ang)
+                xyz[j, 1] = obs_xy[i, 1] + obs_r[i] * np.sin(ang)
+                xyz[j, 2] = obs_base_z[i] + frac * max(obs_h[i], 0.3)
+            else:
+                # ground-texture features (roots, grass, debris) on the
+                # apron around the collider — these are what survives the
+                # recorder's below-horizon gate, like real forest-floor ORB
+                rad = obs_r[i] + rng.uniform(0.3, 2.0)
+                xyz[j, 0] = obs_xy[i, 0] + rad * np.cos(ang)
+                xyz[j, 1] = obs_xy[i, 1] + rad * np.sin(ang)
+                xyz[j, 2] = obs_base_z[i] + rng.uniform(0.02, 0.15)
+    desc = rng.randint(0, 2 ** 32, size=(S, cfg.desc_words), dtype=np.uint64)
+    return SceneFeatures(
+        xyz=jnp.asarray(xyz), desc=jnp.asarray(desc.astype(np.uint32)),
+        owner=jnp.asarray(owner), valid=jnp.asarray(valid))
+
+
+class Observation(NamedTuple):
+    """Fixed-size feature observation from one camera pose."""
+
+    uv: jnp.ndarray        # (K, 2) pixel coords
+    p3d_cam: jnp.ndarray   # (K, 3) points in the OpenCV camera frame
+    desc: jnp.ndarray      # (K, words) noisy descriptors
+    feat_id: jnp.ndarray   # (K,) index into SceneFeatures
+    valid: jnp.ndarray     # (K,)
+
+
+def observe(base_pos, yaw, feats: SceneFeatures, obs_valid_now,
+            key, cam: CameraConfig, cfg: LandmarkConfig) -> Observation:
+    """Project scene features through the camera; gate, occlude, and corrupt.
+
+    obs_valid_now: (N_colliders,) current collider validity (drops may have
+    been removed) — features of removed colliders disappear.
+    """
+    origin, R_wc = camera_pose(base_pos, yaw, cam)
+    rel = feats.xyz - origin[None, :]
+    p_cam = rel @ R_wc  # world->cam: R^T @ rel, row-vec form
+
+    z = p_cam[:, 2]
+    u = cam.fx * p_cam[:, 0] / jnp.maximum(z, 1e-6) + cam.cx
+    v = cam.fy * p_cam[:, 1] / jnp.maximum(z, 1e-6) + cam.cy
+    dist = jnp.linalg.norm(p_cam, axis=-1)
+
+    in_img = (u >= 1) & (u < cam.width - 1) & (v >= 1) & (v < cam.height - 1)
+    in_depth = (z > cam.depth_min) & (z < cam.depth_max)
+    alive = feats.valid & obs_valid_now[feats.owner]
+    vis = in_img & in_depth & alive
+
+    # Occlusion is handled statistically by the descriptor-noise model (a
+    # geometric per-feature occlusion test against all colliders would cost
+    # S x N ray tests per observation; the matcher's inlier gates absorb the
+    # difference).  Back-face features do survive here — they act as the
+    # false-match population the RANSAC gates are tuned against.
+
+    # selection: keep the max_obs nearest visible features (deterministic);
+    # pad with invalid slots when the scene has fewer features than the cap
+    score = jnp.where(vis, dist, jnp.inf)
+    K = cfg.max_obs_features
+    S = score.shape[0]
+    order = jnp.argsort(score)
+    if S >= K:
+        idx = order[:K]
+        sel_valid = jnp.isfinite(score[idx])
+    else:
+        idx = jnp.concatenate([order, jnp.zeros(K - S, order.dtype)])
+        sel_valid = jnp.concatenate(
+            [jnp.isfinite(score[order]), jnp.zeros(K - S, bool)])
+
+    # observation noise: pixel jitter + depth noise + descriptor bit flips
+    k1, k2, k3 = jax.random.split(key, 3)
+    uv = jnp.stack([u[idx], v[idx]], -1)
+    uv = uv + 0.5 * jax.random.normal(k1, uv.shape)
+    p3d = p_cam[idx]
+    depth_noise = 1.0 + 0.01 * jax.random.normal(k2, (K, 1))
+    p3d = p3d * depth_noise  # multiplicative range noise
+
+    desc = feats.desc[idx]
+    # flip ~desc_noise_bits random bits: for each word, build a mask with
+    # desc_noise_bits/256 per-bit probability
+    p_flip = cfg.desc_noise_bits / (32.0 * cfg.desc_words)
+    flip_bits = jax.random.bernoulli(
+        k3, p_flip, (K, cfg.desc_words, 32)).astype(jnp.uint32)
+    weights = (2 ** jnp.arange(32, dtype=jnp.uint32))
+    flip_mask = (flip_bits * weights[None, None, :]).sum(-1).astype(jnp.uint32)
+    desc = desc ^ flip_mask
+
+    return Observation(uv=uv, p3d_cam=p3d, desc=desc,
+                       feat_id=idx.astype(jnp.int32),
+                       valid=sel_valid)
+
+
+def hamming(d1, d2):
+    """Pairwise Hamming distance between descriptor sets.
+
+    d1 (A, W) uint32, d2 (B, W) uint32 -> (A, B) int32.
+    """
+    x = d1[:, None, :] ^ d2[None, :, :]
+    return jax.lax.population_count(x).sum(-1).astype(jnp.int32)
+
+
+def cross_check_match(desc_a, valid_a, desc_b, valid_b, max_dist: int = 64):
+    """BFMatcher(crossCheck=True) equivalent: mutual nearest neighbors under
+    a Hamming cap.  Returns (match_idx (A,), matched (A,)) mapping a->b."""
+    h = hamming(desc_a, desc_b)
+    big = jnp.int32(10 ** 6)
+    h = jnp.where(valid_a[:, None] & valid_b[None, :], h, big)
+    best_ab = jnp.argmin(h, axis=1)                  # (A,)
+    best_ba = jnp.argmin(h, axis=0)                  # (B,)
+    a_idx = jnp.arange(h.shape[0])
+    mutual = best_ba[best_ab] == a_idx
+    dist_ok = h[a_idx, best_ab] <= max_dist
+    return best_ab, mutual & dist_ok

@@ -1,0 +1,135 @@
+"""Landmark recorder + anchor matcher behavior tests."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from nclt_slam_tpu.config import DEFAULT
+from nclt_slam_tpu.landmarks import (
+    R_NO_CANDIDATES,
+    R_PUBLISHED,
+    init_store,
+    match_tick,
+    record_tick,
+)
+from nclt_slam_tpu.sensors.depth import camera_pose
+from nclt_slam_tpu.sensors.features import (
+    build_scene_features,
+    cross_check_match,
+    hamming,
+    observe,
+)
+
+CFG = DEFAULT
+
+
+@pytest.fixture(scope="module")
+def forest_strip():
+    """A strip of tree colliders along a straight path."""
+    rng = np.random.RandomState(5)
+    N = 24
+    xy = np.zeros((N, 2), np.float32)
+    for i in range(N):
+        xy[i] = (4.0 * i, 4.0 if i % 2 == 0 else -4.0)
+        xy[i, 1] += rng.uniform(-1, 1)
+    radius = np.full(N, 0.6, np.float32)
+    height = np.full(N, 7.0, np.float32)
+    base_z = np.zeros(N, np.float32)
+    valid = np.ones(N, bool)
+    feats = build_scene_features(xy, radius, base_z, height, valid,
+                                 CFG.landmarks)
+    return feats, jnp.asarray(valid)
+
+
+def obs_at(feats, obs_valid, x, y, yaw, seed=0):
+    base = jnp.array([x, y, 0.5])
+    return observe(base, jnp.float32(yaw), feats, obs_valid,
+                   jax.random.PRNGKey(seed), CFG.camera, CFG.landmarks)
+
+
+def test_hamming_and_crosscheck():
+    d = jnp.asarray(np.random.RandomState(0).randint(
+        0, 2 ** 32, (8, 8), dtype=np.uint64).astype(np.uint32))
+    assert int(hamming(d[:1], d[:1])[0, 0]) == 0
+    # self cross-check matches identity
+    v = jnp.ones(8, bool)
+    m_idx, matched = cross_check_match(d, v, d, v)
+    assert bool(matched.all())
+    assert np.array_equal(np.asarray(m_idx), np.arange(8))
+
+
+def test_observation_sees_features(forest_strip):
+    feats, ov = forest_strip
+    obs = obs_at(feats, ov, 0.0, 0.0, 0.0)
+    n = int(obs.valid.sum())
+    assert n > 10, f"only {n} features observed"
+    # all valid points in front of the camera and inside the image
+    p = np.asarray(obs.p3d_cam)[np.asarray(obs.valid)]
+    assert (p[:, 2] > 0).all()
+    uv = np.asarray(obs.uv)[np.asarray(obs.valid)]
+    assert (uv[:, 0] >= 0).all() and (uv[:, 0] <= 640 + 2).all()
+
+
+def test_same_pose_descriptors_rematch(forest_strip):
+    feats, ov = forest_strip
+    o1 = obs_at(feats, ov, 0.0, 0.0, 0.0, seed=1)
+    o2 = obs_at(feats, ov, 0.0, 0.0, 0.0, seed=2)
+    m_idx, matched = cross_check_match(o1.desc, o1.valid, o2.desc, o2.valid)
+    # most features should re-match despite descriptor noise
+    assert int(matched.sum()) > 0.6 * int(o1.valid.sum())
+
+
+def test_recorder_triggers_every_2m(forest_strip):
+    feats, ov = forest_strip
+    store = init_store(CFG.landmarks)
+    rec = jax.jit(lambda s, o, p, y: record_tick(s, o, p, y, CFG.camera,
+                                                 CFG.landmarks))
+    for i, x in enumerate(np.arange(0.0, 30.0, 0.5)):
+        obs = obs_at(feats, ov, float(x), 0.0, 0.0, seed=i)
+        cam_p, _ = camera_pose(jnp.array([x, 0.0, 0.5]), jnp.float32(0.0),
+                               CFG.camera)
+        store = rec(store, obs, cam_p, jnp.float32(0.0))
+    # 30 m at 2 m spacing → ~15 landmarks (allow slack for the >=30-feature gate)
+    assert 8 <= int(store.count) <= 16, int(store.count)
+    nf = np.asarray(store.n_feats[: int(store.count)])
+    assert (nf >= CFG.landmarks.record_min_feats).all()
+
+
+def test_matcher_anchors_near_teach_pose(forest_strip):
+    feats, ov = forest_strip
+    store = init_store(CFG.landmarks)
+    rec = jax.jit(lambda s, o, p, y: record_tick(s, o, p, y, CFG.camera,
+                                                 CFG.landmarks))
+    for i, x in enumerate(np.arange(0.0, 40.0, 0.5)):
+        obs = obs_at(feats, ov, float(x), 0.0, 0.0, seed=i)
+        cam_p, _ = camera_pose(jnp.array([x, 0.0, 0.5]), jnp.float32(0.0),
+                               CFG.camera)
+        store = rec(store, obs, cam_p, jnp.float32(0.0))
+    assert int(store.count) >= 8
+
+    match = jax.jit(lambda s, o, v, h, p, k: match_tick(
+        s, o, v, h, p, k, CFG.camera, CFG.landmarks))
+
+    # robot actually at (20.4, 0.3); VIO believes (22.0, 1.0) — the anchor
+    # should recover a pose near the TRUE one
+    true_xy = (20.4, 0.3)
+    obs = obs_at(feats, ov, *true_xy, 0.0, seed=99)
+    res = match(store, obs, jnp.array([22.0, 1.0]), jnp.float32(0.0),
+                jnp.array([22.0, 1.0, 0.5]), jax.random.PRNGKey(7))
+    assert bool(res.ok), f"no anchor: reason={int(res.reason)} inl={int(res.n_inliers)} reproj={float(res.reproj):.2f}"
+    err = np.hypot(float(res.xy[0]) - true_xy[0], float(res.xy[1]) - true_xy[1])
+    assert err < 1.0, f"anchor err {err:.2f} m at {np.asarray(res.xy)}"
+    assert float(res.std) <= 0.2 + 1e-6
+
+
+def test_matcher_no_candidates_far_away(forest_strip):
+    feats, ov = forest_strip
+    store = init_store(CFG.landmarks)
+    # empty store → no candidates
+    obs = obs_at(feats, ov, 0.0, 0.0, 0.0)
+    res = match_tick(store, obs, jnp.array([500.0, 500.0]), jnp.float32(0.0),
+                     jnp.array([500.0, 500.0, 0.5]), jax.random.PRNGKey(0),
+                     CFG.camera, CFG.landmarks)
+    assert not bool(res.ok)
+    assert int(res.reason) == R_NO_CANDIDATES
