@@ -25,8 +25,8 @@ import jax.numpy as jnp
 
 def main():
     n_routes = int(os.environ.get("BENCH_ROUTES", "15"))
-    n_ticks = int(os.environ.get("BENCH_TICKS", "600"))
-    teach_ticks = int(os.environ.get("BENCH_TEACH_TICKS", "200"))
+    n_ticks = int(os.environ.get("BENCH_TICKS", "400"))
+    teach_ticks = int(os.environ.get("BENCH_TEACH_TICKS", "100"))
 
     from nclt_slam_tpu import config as cfg_mod
     from nclt_slam_tpu.rollout.campaign import (

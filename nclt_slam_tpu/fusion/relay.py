@@ -213,7 +213,11 @@ def fusion_tick(state: FusionState, gt_x, gt_y, gt_yaw, slam_t, slam_quat,
     noisy_yaw = gt_yaw + enc_cfg.compass_noise * jax.random.normal(k1)
     d = jnp.array([gt_x, gt_y]) - state.prev_gt_xy
     displacement = jnp.linalg.norm(d)
-    noisy_disp = displacement * (1.0 + enc_cfg.dist_noise * jax.random.normal(k2))
+    # real encoders read SIGNED wheel rotation: project the displacement on
+    # the heading so reversing integrates backwards (the reference's
+    # unsigned model runs away under the follower's wedge reversals)
+    signed_disp = d[0] * jnp.cos(gt_yaw) + d[1] * jnp.sin(gt_yaw)
+    noisy_disp = signed_disp * (1.0 + enc_cfg.dist_noise * jax.random.normal(k2))
     move = (~first) & (displacement > 0.001)
     enc_xy = jnp.where(
         first, jnp.array([gt_x, gt_y]),

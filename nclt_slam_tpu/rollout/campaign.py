@@ -81,10 +81,15 @@ def teach_waypoints(data: CampaignData, teach: TeachResult, cfg: Config):
 
 
 def run_campaign_repeat(data: CampaignData, teach_grids, wps, n_wps,
-                        cfg: Config, n_ticks: int) -> RepeatResult:
-    f = jax.vmap(lambda sc, rt, tg, wp, nw: run_repeat(
-        sc, rt, tg, wp, nw, cfg, n_ticks))
-    return f(data.scenes_repeat, data.routes, teach_grids, wps, n_wps)
+                        cfg: Config, n_ticks: int,
+                        stores=None) -> RepeatResult:
+    if stores is None:
+        f = jax.vmap(lambda sc, rt, tg, wp, nw: run_repeat(
+            sc, rt, tg, wp, nw, cfg, n_ticks))
+        return f(data.scenes_repeat, data.routes, teach_grids, wps, n_wps)
+    f = jax.vmap(lambda sc, rt, tg, wp, nw, st: run_repeat(
+        sc, rt, tg, wp, nw, cfg, n_ticks, store=st))
+    return f(data.scenes_repeat, data.routes, teach_grids, wps, n_wps, stores)
 
 
 def campaign_metrics(data: CampaignData, repeat: RepeatResult, wps, n_wps,

@@ -1,11 +1,21 @@
 """Repeat pass: the full navigation inner loop as one jitted scan.
 
 Replaces the reference's 9-process repeat graph (run_repeat_ours.sh: Isaac +
-VIO + v55 relay + landmark matcher + Nav2 map_server/planner + pure pursuit
-+ supervisor + dispatcher + loggers).  Stage cadences match the reference:
-dynamics at 200 Hz (substeps), nav/control at 10 Hz, costmap + planner at
-2 Hz, supervisor continuous.  The localization source is pluggable via
-``cfg.mode`` — GT (debug), encoder-only, or the full v55 fusion stack.
+ORB-SLAM3 + v55 relay + landmark matcher + Nav2 map_server/planner + pure
+pursuit + supervisor + dispatcher + loggers).  Stage cadences match the
+reference: dynamics at 200 Hz (substeps), IMU at 200 Hz, VIO + control at
+10 Hz, matcher at 2 Hz, costmap + planner at 2 Hz, supervisor continuous.
+
+The localization source is selected by ``cfg.mode``:
+- ``use_gt``            GT pose straight through (debug / speed-of-light)
+- ``use_slam=False``    encoder+compass dead-reckoning only
+- ``use_slam``          full stack: VIO (optionally inertial) + visual
+                        anchors (optional) fused by the v55 relay
+
+Within a tick, the dataflow mirrors the reference's steady-state loop
+(SURVEY.md §3.2): dynamics advances with the previous command; sensors
+observe the new true state; VIO/matcher/relay produce the nav pose; the
+planner/dispatcher/follower produce the next command.
 """
 
 from __future__ import annotations
@@ -19,6 +29,9 @@ from nclt_slam_tpu.config import Config
 from nclt_slam_tpu.control.pure_pursuit import CtrlState, follower_tick, init_ctrl
 from nclt_slam_tpu.control.supervisor import SupervisorState, init_supervisor, supervisor_tick
 from nclt_slam_tpu.dynamics.diffdrive import RobotState, init_robot, nav_substeps, robot_pose3d
+from nclt_slam_tpu.fusion.relay import FusionState, anchor_update, fusion_tick, init_fusion
+from nclt_slam_tpu.landmarks.matcher import match_tick
+from nclt_slam_tpu.landmarks.store import LandmarkStore, init_store
 from nclt_slam_tpu.mapping.occupancy import (
     crop_window,
     empty_grid,
@@ -34,7 +47,16 @@ from nclt_slam_tpu.planning.dispatcher import (
     init_dispatch,
 )
 from nclt_slam_tpu.rollout.scene_pack import PackedRoute, PackedScene
-from nclt_slam_tpu.sensors.depth import render_depth
+from nclt_slam_tpu.sensors.depth import (
+    cam_points_to_world,
+    depth_to_cam_points,
+    render_depth,
+)
+from nclt_slam_tpu.sensors.features import SceneFeatures, observe
+from nclt_slam_tpu.sensors.imu import ImuState, imu_block, init_imu
+from nclt_slam_tpu.vio.tracker import VioState, emit_slam_pose, init_vio, vio_frame
+
+GRAVITY = jnp.array([0.0, 0.0, -9.81])
 
 
 class RepeatCarry(NamedTuple):
@@ -42,10 +64,14 @@ class RepeatCarry(NamedTuple):
     ctrl: CtrlState
     dispatch: DispatchState
     sup: SupervisorState
+    imu: ImuState
+    vio: VioState
+    fusion: FusionState
     grid_live: jax.Array    # live obstacle-layer log-odds
     cost_win: jax.Array     # cached inflated costmap window
     win_r0: jax.Array
     win_c0: jax.Array
+    cmd: jax.Array          # (2,) v, w applied next tick
     key: jax.Array
 
 
@@ -53,6 +79,9 @@ class RepeatTrace(NamedTuple):
     gt_xy: jax.Array
     gt_yaw: jax.Array
     nav_xy: jax.Array       # localization output fed to nav
+    regime: jax.Array       # fusion regime code
+    anchor_ok: jax.Array    # anchor published this tick
+    vio_tracked: jax.Array  # VIO match count
     wp_idx: jax.Array
     cmd_v: jax.Array
     done: jax.Array
@@ -69,33 +98,99 @@ def _active_valid(scene: PackedScene, fired):
     return scene.valid & (~(scene.drop_mask & fired))
 
 
-def repeat_step(carry: RepeatCarry, tick, scene: PackedScene,
-                route: PackedRoute, teach_grid, cfg: Config):
-    key, k_dyn = jax.random.split(carry.key)
-    robot = carry.robot
-    t_now = tick.astype(jnp.float32) * 0.1
+def _scene_features(scene: PackedScene) -> SceneFeatures:
+    return SceneFeatures(xyz=scene.feat_xyz, desc=scene.feat_desc,
+                         owner=scene.feat_owner, valid=scene.feat_valid)
 
-    # --- supervisor (GT-based, like the reference's isaac_pose poll) ---
-    sup = supervisor_tick(carry.sup, robot.xy, route.turnaround, cfg.supervisor)
+
+def repeat_step(carry: RepeatCarry, tick, scene: PackedScene,
+                route: PackedRoute, teach_grid, store: LandmarkStore,
+                cfg: Config):
+    key, k_dyn, k_obs, k_match, k_fuse = jax.random.split(carry.key, 5)
+    t_now = tick.astype(jnp.float32) * 0.1
+    mode = cfg.mode
+
+    # --- supervisor decides current collider set (GT-based poll) ---
+    sup = supervisor_tick(carry.sup, carry.robot.xy, route.turnaround,
+                          cfg.supervisor)
     valid_now = _active_valid(scene, sup.fired)
 
-    # --- localization ---
-    if cfg.mode.use_gt:
-        nav_xy, nav_yaw = robot.xy, robot.yaw
-    else:
-        # placeholder until the fusion stack lands; GT keeps the loop closed
-        nav_xy, nav_yaw = robot.xy, robot.yaw
+    # --- dynamics: apply the previous tick's command ---
+    robot, (pos_traj, quat_traj) = nav_substeps(
+        carry.robot, carry.cmd[0], carry.cmd[1], scene.xy, scene.radius,
+        valid_now, k_dyn, cfg.sim)
+    gt_yaw = robot.yaw
+    pos3, _ = robot_pose3d(robot)
 
-    # --- sensing + costmap + plan at 2 Hz (uniform cadence keeps the cond
-    #     real under vmap) ---
+    # --- localization ---
+    if mode.use_gt:
+        imu, vio, fusion = carry.imu, carry.vio, carry.fusion
+        nav_xy, nav_yaw = robot.xy, gt_yaw
+        regime = jnp.int32(-1)
+        anchor_ok = jnp.array(False)
+    else:
+        # 200 Hz synthetic IMU over this tick's substep trajectory
+        imu, imu_meas = imu_block(carry.imu, pos_traj, quat_traj,
+                                  1.0 / cfg.sim.physics_hz, k_fuse, cfg.imu)
+        obs = observe(pos3, robot.yaw, _scene_features(scene), valid_now,
+                      k_obs, cfg.camera, cfg.landmarks)
+
+        if mode.use_slam:
+            vio, slam_ok = vio_frame(
+                carry.vio, obs, imu_meas,
+                cfg.sim.nav_decimation / cfg.sim.physics_hz, GRAVITY,
+                cfg.camera, cfg.vio, mode.use_imu)
+            slam_t, slam_q = emit_slam_pose(vio, cfg.camera)
+        else:
+            vio = carry.vio
+            slam_ok = jnp.array(False)
+            slam_t = jnp.zeros(3)
+            slam_q = jnp.array([0.0, 0.0, 0.0, 1.0])
+
+        # --- visual anchor matcher at 2 Hz ---
+        fusion = carry.fusion
+        if mode.use_anchors:
+            vio_nav = fusion.prev_nav  # relay-published pose, like the
+            #                            matcher reading /tmp/isaac_pose.txt
+
+            def try_anchor(f):
+                res = match_tick(
+                    store, obs, vio_nav[:2], vio_nav[2],
+                    jnp.array([vio_nav[0], vio_nav[1], 0.0]), k_match,
+                    cfg.camera, cfg.landmarks)
+                f2 = anchor_update(f, res.xy, res.std, tick, cfg.fusion)
+                f2 = jax.tree_util.tree_map(
+                    lambda new, old: jnp.where(res.ok, new, old), f2, f)
+                return f2, res.ok
+
+            fusion, anchor_ok = jax.lax.cond(
+                tick % cfg.landmarks.tick_period == 0, try_anchor,
+                lambda f: (f, jnp.array(False)), fusion)
+        else:
+            anchor_ok = jnp.array(False)
+
+        # --- v55 relay fusion tick ---
+        fusion, nav_x, nav_y, nav_yaw, regime = fusion_tick(
+            fusion, robot.xy[0], robot.xy[1], gt_yaw, slam_t, slam_q,
+            slam_ok, tick, k_fuse, cfg.encoder, cfg.fusion)
+        nav_xy = jnp.stack([nav_x, nav_y])
+
+    # --- sensing + costmap + plan at 2 Hz ---
     def update_costmap(args):
         grid_live, dispatch = args
-        pos3, _ = robot_pose3d(robot)
-        depth, pts, valid = render_depth(
+        # the camera senses reality (true pose) ...
+        depth, _, dvalid = render_depth(
             pos3, robot.yaw, scene.xy, scene.radius, scene.base_z,
             scene.height, valid_now, cfg.camera)
-        grid_live = integrate_depth(grid_live, robot.xy, pts.reshape(-1, 3),
-                                    valid.reshape(-1), cfg.map)
+        # ... but points are placed in the map through the NAV pose, like
+        # Nav2 transforming /depth_points with the relay's TF
+        p_cam = depth_to_cam_points(depth, cfg.camera)
+        from nclt_slam_tpu.scene.terrain import terrain_height
+        nav_pos3 = jnp.array([nav_xy[0], nav_xy[1],
+                              terrain_height(nav_xy[0], nav_xy[1]) + 0.13])
+        pts = cam_points_to_world(p_cam, nav_pos3, nav_yaw, cfg.camera)
+        grid_live = integrate_depth(grid_live, nav_xy, pts.reshape(-1, 3),
+                                    dvalid.reshape(-1), cfg.map)
         live_tri = occupancy_trinary(grid_live, cfg.map)
         combined = jnp.maximum(live_tri, teach_grid)
         r, c = world_to_cell(nav_xy[0], nav_xy[1], cfg.map)
@@ -121,48 +216,62 @@ def repeat_step(carry: RepeatCarry, tick, scene: PackedScene,
                              scene.drop_mask & valid_now, cfg.planner)
 
     # --- follower ---
-    pos3 = jnp.array([nav_xy[0], nav_xy[1], 0.0])
     ctrl, v, w = follower_tick(
-        carry.ctrl, pos3[:2], nav_yaw, dispatch.path_xy, dispatch.n_path,
+        carry.ctrl, nav_xy, nav_yaw, dispatch.path_xy, dispatch.n_path,
         dispatch.has_path & ~dispatch.done, dispatch.plan_version,
         cost_win, win_r0, win_c0, t_now, cfg.map, cfg.control,
         cfg.planner.window)
     v = jnp.where(dispatch.done, 0.0, v)
     w = jnp.where(dispatch.done, 0.0, w)
 
-    # --- dynamics ---
-    robot, _ = nav_substeps(robot, v, w, scene.xy, scene.radius, valid_now,
-                            k_dyn, cfg.sim)
-
-    # gt is sampled at the same instant the localization output was computed
-    # (pre-step), matching the reference relay's err= logging
     trace = RepeatTrace(
-        gt_xy=carry.robot.xy, gt_yaw=carry.robot.yaw, nav_xy=nav_xy,
+        gt_xy=robot.xy, gt_yaw=gt_yaw, nav_xy=nav_xy,
+        regime=regime, anchor_ok=anchor_ok,
+        vio_tracked=vio.n_tracked if not mode.use_gt else jnp.int32(-1),
         wp_idx=dispatch.idx, cmd_v=v, done=dispatch.done, fired=sup.fired)
-    return RepeatCarry(robot=robot, ctrl=ctrl, dispatch=dispatch, sup=sup,
-                       grid_live=grid_live, cost_win=cost_win,
-                       win_r0=win_r0, win_c0=win_c0, key=key), trace
+    new_carry = RepeatCarry(
+        robot=robot, ctrl=ctrl, dispatch=dispatch, sup=sup,
+        imu=imu, vio=vio, fusion=fusion,
+        grid_live=grid_live, cost_win=cost_win,
+        win_r0=win_r0, win_c0=win_c0,
+        cmd=jnp.stack([v, w]), key=key)
+    return new_carry, trace
 
 
-def run_repeat(scene: PackedScene, route: PackedRoute, teach_grid, wps, n_wps,
-               cfg: Config, n_ticks: int, seed: int = 1) -> RepeatResult:
-    """Roll the repeat pass with teach artefacts (map + waypoints)."""
+def init_repeat_carry(route: PackedRoute, wps, n_wps, cfg: Config,
+                      seed: int = 1) -> RepeatCarry:
     robot = init_robot(route.spawn[0], route.spawn[1], route.spawn_yaw)
     W = cfg.planner.window
-    carry = RepeatCarry(
+    key = jax.random.PRNGKey(seed)
+    k_imu, key = jax.random.split(key)
+    return RepeatCarry(
         robot=robot,
         ctrl=init_ctrl(),
         dispatch=init_dispatch(wps, n_wps, cfg.planner),
         sup=init_supervisor(),
+        imu=init_imu(k_imu, cfg.imu),
+        vio=init_vio(cfg.landmarks.desc_words),
+        fusion=init_fusion(cfg.fusion),
         grid_live=empty_grid(cfg.map),
         cost_win=jnp.zeros((W, W), jnp.float32),
         win_r0=jnp.int32(0),
         win_c0=jnp.int32(0),
-        key=jax.random.PRNGKey(seed),
+        cmd=jnp.zeros(2),
+        key=key,
     )
 
+
+def run_repeat(scene: PackedScene, route: PackedRoute, teach_grid, wps, n_wps,
+               cfg: Config, n_ticks: int, seed: int = 1,
+               store: LandmarkStore | None = None) -> RepeatResult:
+    """Roll the repeat pass with teach artefacts (map + waypoints +
+    landmark store)."""
+    if store is None:
+        store = init_store(cfg.landmarks)
+    carry = init_repeat_carry(route, wps, n_wps, cfg, seed)
+
     def body(c, t):
-        return repeat_step(c, t, scene, route, teach_grid, cfg)
+        return repeat_step(c, t, scene, route, teach_grid, store, cfg)
 
     carry, trace = jax.lax.scan(body, carry, jnp.arange(n_ticks))
     return RepeatResult(trace=trace, final=carry)

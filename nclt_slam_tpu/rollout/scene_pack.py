@@ -9,6 +9,7 @@ import numpy as np
 
 from nclt_slam_tpu.config import Config
 from nclt_slam_tpu.planning.dispatcher import subsample_waypoints
+from nclt_slam_tpu.sensors.features import build_scene_features
 from nclt_slam_tpu.scene.colliders import SceneColliders
 from nclt_slam_tpu.scene.obstacles import RouteDrops, no_drops
 from nclt_slam_tpu.scene.routes import Route
@@ -18,7 +19,8 @@ from nclt_slam_tpu.scene.terrain import terrain_height
 class PackedScene(NamedTuple):
     """Static collider arrays: scene colliders followed by the route's drop
     set.  ``drop_mask`` marks the drop slots so the supervisor FIRE can mask
-    them out at runtime."""
+    them out at runtime.  Feature fields carry the persistent visual
+    landmark points the ORB-replacement observation model projects."""
 
     xy: jnp.ndarray        # (N, 2)
     radius: jnp.ndarray    # (N,)
@@ -26,6 +28,10 @@ class PackedScene(NamedTuple):
     height: jnp.ndarray    # (N,)
     valid: jnp.ndarray     # (N,)
     drop_mask: jnp.ndarray  # (N,) True for drop slots
+    feat_xyz: jnp.ndarray   # (S, 3) scene feature points
+    feat_desc: jnp.ndarray  # (S, W) uint32 descriptors
+    feat_owner: jnp.ndarray  # (S,) owning collider index
+    feat_valid: jnp.ndarray  # (S,)
 
 
 class PackedRoute(NamedTuple):
@@ -38,7 +44,10 @@ class PackedRoute(NamedTuple):
     n_wps: jnp.ndarray        # () int32
 
 
-def pack_scene(scene: SceneColliders, drops: RouteDrops | None = None) -> PackedScene:
+def pack_scene(scene: SceneColliders, drops: RouteDrops | None = None,
+               cfg: Config | None = None, feat_seed: int = 123) -> PackedScene:
+    from nclt_slam_tpu import config as cfg_mod
+    cfg = cfg or cfg_mod.DEFAULT
     if drops is None:
         drops = no_drops()
     xy = np.concatenate([scene.xy, drops.xy], 0)
@@ -48,10 +57,14 @@ def pack_scene(scene: SceneColliders, drops: RouteDrops | None = None) -> Packed
     base_z = np.asarray(terrain_height(xy[:, 0], xy[:, 1]))
     drop_mask = np.concatenate(
         [np.zeros(len(scene.xy), bool), np.ones(len(drops.xy), bool)], 0)
+    feats = build_scene_features(xy, radius, base_z, height, valid,
+                                 cfg.landmarks, seed=feat_seed)
     return PackedScene(
         xy=jnp.asarray(xy), radius=jnp.asarray(radius),
         base_z=jnp.asarray(base_z), height=jnp.asarray(height),
         valid=jnp.asarray(valid), drop_mask=jnp.asarray(drop_mask),
+        feat_xyz=feats.xyz, feat_desc=feats.desc,
+        feat_owner=feats.owner, feat_valid=feats.valid,
     )
 
 

@@ -5,8 +5,9 @@ VIO + GT relay + drift monitor + depth mapper + landmark recorder) with one
 pure function.  The chase controller reproduces the sim driver's auto-route
 pure pursuit (run_husky_forest.py:942-1058: 2 m lookahead within the next
 10 WPs, arrive at < 1 m, three-tier speed/steer schedule); the depth mapper
-accumulates the log-odds teach map; per-tick GT poses become the
-``vio_pose_dense`` artefact the repeat pass subsamples into waypoints.
+accumulates the log-odds teach map; the landmark recorder snapshots feature
+observations every 2 m; per-tick GT poses become the ``vio_pose_dense``
+artefact the repeat pass subsamples into waypoints.
 """
 
 from __future__ import annotations
@@ -18,9 +19,11 @@ import jax.numpy as jnp
 
 from nclt_slam_tpu.config import Config
 from nclt_slam_tpu.dynamics.diffdrive import RobotState, init_robot, nav_substeps, robot_pose3d
+from nclt_slam_tpu.landmarks.store import LandmarkStore, init_store, record_tick
 from nclt_slam_tpu.mapping.occupancy import empty_grid, integrate_depth, occupancy_trinary
 from nclt_slam_tpu.rollout.scene_pack import PackedRoute, PackedScene
-from nclt_slam_tpu.sensors.depth import render_depth
+from nclt_slam_tpu.sensors.depth import camera_pose, render_depth
+from nclt_slam_tpu.sensors.features import SceneFeatures, observe
 
 CHASE_WINDOW = 16  # WP lookahead window (reference scans next 10)
 
@@ -28,6 +31,7 @@ CHASE_WINDOW = 16  # WP lookahead window (reference scans next 10)
 class TeachCarry(NamedTuple):
     robot: RobotState
     grid: jax.Array        # log-odds teach map
+    store: LandmarkStore   # landmark recorder state
     chase_idx: jax.Array   # () int32 current dense WP
     key: jax.Array
     done: jax.Array        # () bool — route complete
@@ -43,8 +47,14 @@ class TeachTrace(NamedTuple):
 class TeachResult(NamedTuple):
     trace: TeachTrace
     teach_grid: jax.Array  # trinary int8 map
+    store: LandmarkStore   # landmarks.pkl artefact pytree
     n_ticks: jax.Array     # () int32 valid tick count
     final_robot: RobotState
+
+
+def _scene_features(scene: PackedScene) -> SceneFeatures:
+    return SceneFeatures(xyz=scene.feat_xyz, desc=scene.feat_desc,
+                         owner=scene.feat_owner, valid=scene.feat_valid)
 
 
 def _chase_cmd(robot: RobotState, route: PackedRoute, chase_idx, cfg: Config):
@@ -83,31 +93,42 @@ def _chase_cmd(robot: RobotState, route: PackedRoute, chase_idx, cfg: Config):
 
 def teach_step(carry: TeachCarry, tick, scene: PackedScene, route: PackedRoute,
                cfg: Config):
-    key, k_dyn, k_map = jax.random.split(carry.key, 3)
+    key, k_dyn, k_obs = jax.random.split(carry.key, 3)
 
     v, w, chase_idx, done = _chase_cmd(carry.robot, route, carry.chase_idx, cfg)
     v = jnp.where(carry.done, 0.0, v)
     w = jnp.where(carry.done, 0.0, w)
 
+    # drops are not present during teach
+    valid_teach = scene.valid & ~scene.drop_mask
     robot, _ = nav_substeps(
-        carry.robot, v, w, scene.xy, scene.radius, scene.valid, k_dyn, cfg.sim)
+        carry.robot, v, w, scene.xy, scene.radius, valid_teach, k_dyn, cfg.sim)
 
-    # depth mapping at the costmap cadence (2 Hz) — uniform predicate so the
-    # raycast stays a real cond under vmap
-    def do_map(g):
+    # depth mapping + landmark recording at the costmap cadence (2 Hz) —
+    # uniform predicate so the heavy branch stays a real cond under vmap
+    def do_sense(args):
+        grid, store = args
         pos3, _ = robot_pose3d(robot)
-        depth, pts, valid = render_depth(
+        depth, pts, dvalid = render_depth(
             pos3, robot.yaw, scene.xy, scene.radius, scene.base_z,
-            scene.height, scene.valid, cfg.camera)
-        return integrate_depth(g, robot.xy, pts.reshape(-1, 3),
-                               valid.reshape(-1), cfg.map)
+            scene.height, valid_teach, cfg.camera)
+        grid = integrate_depth(grid, robot.xy, pts.reshape(-1, 3),
+                               dvalid.reshape(-1), cfg.map)
+        obs = observe(pos3, robot.yaw, _scene_features(scene), valid_teach,
+                      k_obs, cfg.camera, cfg.landmarks)
+        cam_p, _ = camera_pose(pos3, robot.yaw, cfg.camera)
+        store = record_tick(store, obs, cam_p, robot.yaw, cfg.camera,
+                            cfg.landmarks)
+        return grid, store
 
-    grid = jax.lax.cond(tick % cfg.map.update_period == 0, do_map,
-                        lambda g: g, carry.grid)
+    grid, store = jax.lax.cond(
+        tick % cfg.map.update_period == 0, do_sense, lambda a: a,
+        (carry.grid, carry.store))
 
     trace = TeachTrace(gt_xy=robot.xy, gt_yaw=robot.yaw,
                        done=carry.done | done, cmd_v=v)
-    return TeachCarry(robot=robot, grid=grid, chase_idx=chase_idx, key=key,
+    return TeachCarry(robot=robot, grid=grid, store=store,
+                      chase_idx=chase_idx, key=key,
                       done=carry.done | done), trace
 
 
@@ -118,6 +139,7 @@ def run_teach(scene: PackedScene, route: PackedRoute, cfg: Config,
     carry = TeachCarry(
         robot=robot,
         grid=empty_grid(cfg.map),
+        store=init_store(cfg.landmarks),
         chase_idx=jnp.int32(0),
         key=jax.random.PRNGKey(seed),
         done=jnp.array(False),
@@ -131,6 +153,7 @@ def run_teach(scene: PackedScene, route: PackedRoute, cfg: Config,
     return TeachResult(
         trace=trace,
         teach_grid=occupancy_trinary(carry.grid, cfg.map),
+        store=carry.store,
         n_ticks=n_valid,
         final_robot=carry.robot,
     )

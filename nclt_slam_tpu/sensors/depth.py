@@ -120,6 +120,23 @@ def render_depth(base_pos, yaw, obs_xy, obs_r, obs_base_z, obs_h, obs_valid,
     return jnp.where(valid, depth_z, 0.0), points_world, valid
 
 
+def depth_to_cam_points(depth_z, cfg: CameraConfig):
+    """Depth image -> points in the optical camera frame (pose-free)."""
+    dirs_c, _, _ = ray_grid(cfg)
+    t = depth_z / jnp.maximum(dirs_c[..., 2], 1e-6)
+    return t[..., None] * dirs_c
+
+
+def cam_points_to_world(p_cam, base_pos, yaw, cfg: CameraConfig):
+    """Camera-frame points -> world frame for a given (possibly estimated)
+    base pose.  This is the Nav2 costmap's TF transform: the reference
+    places /depth_points using the relay's map->camera TF — i.e. the NAV
+    pose, not ground truth — so the obstacle layer stays consistent with
+    the frame the planner and follower operate in."""
+    origin, R_wc = camera_pose(base_pos, yaw, cfg)
+    return jnp.einsum("ij,...j->...i", R_wc, p_cam) + origin
+
+
 def sample_depth_at_pixels(base_pos, yaw, us, vs, obs_xy, obs_r, obs_base_z,
                            obs_h, obs_valid, cfg: CameraConfig):
     """Depth for arbitrary full-res pixels (u, v) — used by the landmark

@@ -154,9 +154,11 @@ def hamming(d1, d2):
     return jax.lax.population_count(x).sum(-1).astype(jnp.int32)
 
 
-def cross_check_match(desc_a, valid_a, desc_b, valid_b, max_dist: int = 64):
+def cross_check_match(desc_a, valid_a, desc_b, valid_b, max_dist: int = 64,
+                      return_dist: bool = False):
     """BFMatcher(crossCheck=True) equivalent: mutual nearest neighbors under
-    a Hamming cap.  Returns (match_idx (A,), matched (A,)) mapping a->b."""
+    a Hamming cap.  Returns (match_idx (A,), matched (A,)) mapping a->b;
+    with ``return_dist`` also the per-a best distance (novelty gate)."""
     h = hamming(desc_a, desc_b)
     big = jnp.int32(10 ** 6)
     h = jnp.where(valid_a[:, None] & valid_b[None, :], h, big)
@@ -164,5 +166,8 @@ def cross_check_match(desc_a, valid_a, desc_b, valid_b, max_dist: int = 64):
     best_ba = jnp.argmin(h, axis=0)                  # (B,)
     a_idx = jnp.arange(h.shape[0])
     mutual = best_ba[best_ab] == a_idx
-    dist_ok = h[a_idx, best_ab] <= max_dist
+    best_d = h[a_idx, best_ab]
+    dist_ok = best_d <= max_dist
+    if return_dist:
+        return best_ab, mutual & dist_ok, best_d
     return best_ab, mutual & dist_ok

@@ -1,0 +1,236 @@
+"""RGB-D-inertial visual odometry — capability match for ORB-SLAM3's
+tracking front end (SURVEY.md §2.3: feature extract + match, IMU
+preintegration, motion-only optimization, map management, lost detection).
+
+Per 10 Hz vision frame:
+1. predict body state by IMU preintegration over the 200 Hz block
+   (or constant velocity for the RGB-D-only ablation)
+2. match the frame's descriptors to the persistent map (mutual Hamming)
+3. motion-only Gauss-Newton on the 6-dof body pose: Huber-weighted pixel
+   reprojection + depth residuals of matched map points (ORB-SLAM3's
+   Optimizer::PoseOptimization equivalent), Jacobians via jacfwd
+4. insert unmatched features as new map points back-projected through the
+   *estimated* pose (so mapping error feeds back — realistic drift)
+5. tracking-lost detection when matches collapse (feeds the relay's
+   freeze/lost fallback)
+
+The VIO world frame is the spawn body frame (FLU).  ``emit_slam_pose``
+converts to the ORB-SLAM3 convention (camera pose in the first-camera
+world) that the v55 alignment consumes.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from nclt_slam_tpu.config import CameraConfig, VioConfig
+from nclt_slam_tpu.core.quat import (
+    quat_conj,
+    quat_mul,
+    quat_rotate,
+    quat_to_mat,
+    so3_exp,
+)
+from nclt_slam_tpu.sensors.depth import R_BASE_CAM
+from nclt_slam_tpu.sensors.features import Observation, cross_check_match
+from nclt_slam_tpu.vio.preintegration import empty_preint, integrate_block, propagate
+
+MAP_CAP = 384
+
+
+class VioState(NamedTuple):
+    pos: jax.Array        # (3,) body position in VIO world (spawn frame)
+    vel: jax.Array        # (3,)
+    q: jax.Array          # (4,) world_from_body
+    map_xyz: jax.Array    # (MAP_CAP, 3) map points (VIO world)
+    map_desc: jax.Array   # (MAP_CAP, W) uint32
+    map_valid: jax.Array  # (MAP_CAP,)
+    map_age: jax.Array    # (MAP_CAP,) frames since last seen
+    next_slot: jax.Array  # () int32 ring insertion cursor
+    lost: jax.Array       # () bool
+    n_tracked: jax.Array  # () int32 matches in the last frame
+    frames: jax.Array     # () int32
+
+
+def init_vio(desc_words: int) -> VioState:
+    return VioState(
+        pos=jnp.zeros(3), vel=jnp.zeros(3),
+        q=jnp.array([0.0, 0.0, 0.0, 1.0]),
+        map_xyz=jnp.zeros((MAP_CAP, 3)),
+        map_desc=jnp.zeros((MAP_CAP, desc_words), jnp.uint32),
+        map_valid=jnp.zeros(MAP_CAP, bool),
+        map_age=jnp.zeros(MAP_CAP, jnp.int32),
+        next_slot=jnp.int32(0),
+        lost=jnp.array(False),
+        n_tracked=jnp.int32(0),
+        frames=jnp.int32(0),
+    )
+
+
+def _cam_from_world(pos, q, cam: CameraConfig):
+    """World point -> OpenCV camera frame for body pose (pos, q)."""
+    R_wb = quat_to_mat(q)
+    t_bc = jnp.array([cam.cam_offset_fwd, 0.0, cam.cam_offset_up])
+
+    def f(X):
+        p_base = R_wb.T @ (X - pos) - t_bc
+        return R_BASE_CAM.T @ p_base
+
+    return f
+
+
+def _project(p_cam, cam: CameraConfig):
+    z = jnp.maximum(p_cam[..., 2], 0.1)
+    return jnp.stack([cam.fx * p_cam[..., 0] / z + cam.cx,
+                      cam.fy * p_cam[..., 1] / z + cam.cy], -1)
+
+
+def _pose_gn(pos0, q0, X_w, uv_obs, z_obs, w_pt, cam: CameraConfig,
+             cfg: VioConfig):
+    """Motion-only GN: optimize 6-dof body pose against matched map points.
+
+    X_w (M, 3) map points, uv_obs (M, 2), z_obs (M,) camera-frame depth,
+    w_pt (M,) weights (0 for unmatched)."""
+
+    def residuals(delta, pos, q):
+        dq = so3_exp(delta[:3])
+        q_new = quat_mul(q, dq)
+        p_new = pos + delta[3:]
+        R_wb = quat_to_mat(q_new)
+        t_bc = jnp.array([cam.cam_offset_fwd, 0.0, cam.cam_offset_up])
+        p_base = (X_w - p_new) @ R_wb - t_bc[None, :]
+        p_cam = p_base @ R_BASE_CAM
+        uv = _project(p_cam, cam)
+        r_uv = (uv - uv_obs)                     # (M, 2) px
+        r_z = 20.0 * (p_cam[:, 2] - z_obs)       # depth in px-equivalent units
+        return jnp.concatenate([r_uv, r_z[:, None]], -1)  # (M, 3)
+
+    def gn_iter(carry, _):
+        pos, q = carry
+        zero = jnp.zeros(6)
+        r = residuals(zero, pos, q)              # (M, 3)
+        J = jax.jacfwd(lambda d: residuals(d, pos, q))(zero)  # (M, 3, 6)
+
+        # Huber weights on the pixel residual norm
+        r_norm = jnp.linalg.norm(r[:, :2], axis=-1)
+        hub = jnp.where(r_norm <= cfg.huber_px, 1.0,
+                        cfg.huber_px / jnp.maximum(r_norm, 1e-6))
+        w = (w_pt * hub)[:, None]
+
+        Jw = J * w[..., None]
+        H = jnp.einsum("mri,mrj->ij", Jw, J) + cfg.lm_damping * jnp.eye(6)
+        g = jnp.einsum("mri,mr->i", Jw, r)
+        delta = -jnp.linalg.solve(H, g)
+        dq = so3_exp(delta[:3])
+        return (pos + delta[3:], quat_mul(q, dq)), None
+
+    (pos, q), _ = jax.lax.scan(gn_iter, (pos0, q0), None, length=cfg.gn_iters)
+    return pos, q / jnp.linalg.norm(q)
+
+
+def vio_frame(state: VioState, obs: Observation, imu_block_meas, dt_frame,
+              gravity, cam: CameraConfig, cfg: VioConfig, use_imu: bool):
+    """One VIO frame.  imu_block_meas: (S, 6) [accel | gyro] since the last
+    frame.  Returns (state, slam_ok)."""
+    # ---- predict ----
+    if use_imu:
+        pre = integrate_block(
+            empty_preint(), imu_block_meas[:, :3], imu_block_meas[:, 3:],
+            dt_frame / imu_block_meas.shape[0])
+        pos_pred, vel_pred, q_pred = propagate(
+            state.pos, state.vel, state.q, pre, gravity)
+    else:
+        pos_pred = state.pos + state.vel * dt_frame
+        vel_pred = state.vel
+        q_pred = state.q
+
+    # ---- match to map ----
+    m_idx, matched, best_d = cross_check_match(
+        obs.desc, obs.valid, state.map_desc, state.map_valid,
+        return_dist=True)
+    n_match = matched.sum()
+    X = state.map_xyz[m_idx]
+    w_pt = matched.astype(jnp.float32)
+
+    # ---- motion-only GN (only meaningful with enough matches) ----
+    pos_opt, q_opt = _pose_gn(pos_pred, q_pred, X, obs.uv, obs.p3d_cam[:, 2],
+                              w_pt, cam, cfg)
+    enough = n_match >= 8
+    # When tracking is lost, FREEZE the emitted state instead of
+    # dead-reckoning on noisy IMU (which diverges quadratically) — this is
+    # ORB-SLAM3's observable behavior at the /tmp/slam_pose.txt interface
+    # and what the relay's freeze/stale detection is tuned against.
+    pos_new = jnp.where(enough, pos_opt, state.pos)
+    q_new = jnp.where(enough, q_opt, state.q)
+
+    # velocity from pose difference blended with inertial prediction
+    vel_vis = (pos_new - state.pos) / dt_frame
+    vel_new = jnp.where(enough, 0.7 * vel_vis + 0.3 * vel_pred,
+                        jnp.zeros(3))
+
+    # ---- map maintenance ----
+    R_wb = quat_to_mat(q_new)
+    t_bc = jnp.array([cam.cam_offset_fwd, 0.0, cam.cam_offset_up])
+    p_base = obs.p3d_cam @ R_BASE_CAM.T + t_bc[None, :]
+    X_new = p_base @ R_wb.T + pos_new[None, :]
+
+    # insert only genuinely NEW features: unmatched AND descriptor-novel
+    # (re-inserting unmatched-but-known features floods the ring with
+    # duplicates and churns live map points out)
+    novel = best_d > 80
+    insert = obs.valid & (~matched) & novel & (obs.p3d_cam[:, 2] > 0.3)
+    # rank: insertable first; take as many slots as we allow per frame
+    K_INS = 24
+    order = jnp.argsort(~insert)
+    take = order[:K_INS]
+    ins_ok = insert[take] & enough
+    slots = (state.next_slot + jnp.arange(K_INS)) % MAP_CAP
+    map_xyz = state.map_xyz.at[slots].set(
+        jnp.where(ins_ok[:, None], X_new[take], state.map_xyz[slots]))
+    map_desc = state.map_desc.at[slots].set(
+        jnp.where(ins_ok[:, None], obs.desc[take], state.map_desc[slots]))
+    map_valid = state.map_valid.at[slots].set(
+        state.map_valid[slots] | ins_ok)
+    # bootstrap: first frame inserts regardless of tracking
+    first = state.frames == 0
+    boot_ok = insert[take] & first
+    map_xyz = map_xyz.at[slots].set(
+        jnp.where(boot_ok[:, None], X_new[take], map_xyz[slots]))
+    map_desc = map_desc.at[slots].set(
+        jnp.where(boot_ok[:, None], obs.desc[take], map_desc[slots]))
+    map_valid = map_valid.at[slots].set(map_valid[slots] | boot_ok)
+    n_ins = (ins_ok | boot_ok).sum()
+
+    # ages: matched points refresh, fresh insertions start at 0, others age
+    # out after 600 frames (60 s)
+    age = state.map_age + 1
+    age = age.at[m_idx].set(jnp.where(matched, 0, age[m_idx]))
+    age = age.at[slots].set(jnp.where(ins_ok | boot_ok, 0, age[slots]))
+    map_valid = map_valid & (age < 600)
+
+    lost = (~first) & (n_match < 8)
+    new_state = VioState(
+        pos=pos_new, vel=vel_new, q=q_new,
+        map_xyz=map_xyz, map_desc=map_desc, map_valid=map_valid,
+        map_age=age,
+        next_slot=(state.next_slot + n_ins.astype(jnp.int32)) % MAP_CAP,
+        lost=lost, n_tracked=n_match.astype(jnp.int32),
+        frames=state.frames + 1)
+    return new_state, ~lost
+
+
+def emit_slam_pose(state: VioState, cam: CameraConfig):
+    """VIO body pose -> ORB-SLAM3-convention camera pose (t, quat xyzw) in
+    the first-camera world frame, as consumed by the fusion relay."""
+    from nclt_slam_tpu.fusion.relay import T_FLU_FROM_CAM
+
+    R_wb = quat_to_mat(state.q)
+    t_bc = jnp.array([cam.cam_offset_fwd, 0.0, cam.cam_offset_up])
+    T_nav = jnp.eye(4).at[:3, :3].set(R_wb).at[:3, 3].set(
+        state.pos + R_wb @ t_bc)
+    T_slam = jnp.linalg.inv(T_FLU_FROM_CAM) @ T_nav @ T_FLU_FROM_CAM
+    from nclt_slam_tpu.core.quat import mat_to_quat
+    return T_slam[:3, 3], mat_to_quat(T_slam[:3, :3])

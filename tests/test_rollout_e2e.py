@@ -22,6 +22,7 @@ from nclt_slam_tpu.rollout import (
 )
 from nclt_slam_tpu.scene.routes import DENSE_CAP, Route
 from nclt_slam_tpu.scene.terrain import terrain_height
+from nclt_slam_tpu.sensors.features import build_scene_features
 
 
 def small_config():
@@ -55,7 +56,7 @@ def straight_route(length=40.0, ds=0.8):
 
 
 def tiny_scene(drop_on_path=True):
-    """16 colliders: a few off-path trees + optionally one drop barrel ON
+    """16 collider slots: flanking trees + optionally one drop barrel ON
     the path at x=20 (the repeat pass must detour or push past it)."""
     N = 16
     xy = np.zeros((N, 2), np.float32)
@@ -63,8 +64,11 @@ def tiny_scene(drop_on_path=True):
     height = np.zeros(N, np.float32)
     valid = np.zeros(N, bool)
     drop_mask = np.zeros(N, bool)
-    # trees flanking the path
-    for i, (x, y) in enumerate([(10, 4), (14, -4.5), (25, 4.5), (30, -4)]):
+    # trees flanking the whole route (dense enough for the landmark
+    # recorder's min-feature gate and for VIO coverage past the turnaround)
+    flank = [(10, 4), (14, -4.5), (25, 4.5), (30, -4), (5, -3.5), (18, 3.8),
+             (22, -3.6), (34, 4.2), (38, -3.8), (41, 3.5), (2, 3.6), (7, 4.4)]
+    for i, (x, y) in enumerate(flank):
         xy[i] = (x, y)
         radius[i] = 0.7
         height[i] = 8.0
@@ -76,10 +80,14 @@ def tiny_scene(drop_on_path=True):
         valid[8] = True
         drop_mask[8] = True
     base_z = np.asarray(terrain_height(xy[:, 0], xy[:, 1]))
+    feats = build_scene_features(xy, radius, base_z, height, valid,
+                                 cfg_mod.DEFAULT.landmarks)
     return PackedScene(
         xy=jnp.asarray(xy), radius=jnp.asarray(radius),
         base_z=jnp.asarray(base_z), height=jnp.asarray(height),
-        valid=jnp.asarray(valid), drop_mask=jnp.asarray(drop_mask))
+        valid=jnp.asarray(valid), drop_mask=jnp.asarray(drop_mask),
+        feat_xyz=feats.xyz, feat_desc=feats.desc,
+        feat_owner=feats.owner, feat_valid=feats.valid)
 
 
 def pack_test_route(route, cfg):
@@ -149,3 +157,43 @@ def test_repeat_with_gt_localization(teach_result):
     # came back near spawn
     d_return = np.hypot(*(xy[-1] - np.asarray(route.spawn)))
     assert d_return < 12.0, f"return dist {d_return}"
+
+
+def test_repeat_full_stack_localization(teach_result):
+    """The flagship config: VIO + anchors + v55 fusion localization."""
+    res, cfg_gt, route = teach_result
+    cfg = cfg_mod.ours().replace(
+        camera=cfg_gt.camera, map=cfg_gt.map, planner=cfg_gt.planner)
+    scene = tiny_scene(drop_on_path=True)
+    packed, wps, n_wps = pack_test_route(route, cfg)
+    run = jax.jit(lambda: run_repeat(
+        scene, packed, res.teach_grid, wps, n_wps, cfg, n_ticks=2500,
+        store=res.store))
+    rep = run()
+    xy = np.asarray(rep.trace.gt_xy)
+    nav = np.asarray(rep.trace.nav_xy)
+    # localization drift stays bounded (the whole point of the stack)
+    drift = np.hypot(*(nav - xy).T)
+    assert np.isfinite(drift).all()
+    assert drift[50:].mean() < 3.0, f"mean drift {drift[50:].mean():.2f} m"
+    # robot makes real progress along the route using fused localization
+    assert xy[:, 0].max() > 25.0, f"max x = {xy[:, 0].max():.1f}"
+    # VIO tracked features most of the run
+    tr = np.asarray(rep.trace.vio_tracked)
+    assert (tr[30:] >= 8).mean() > 0.5, tr[::100]
+
+
+def test_repeat_encoder_only_ablation(teach_result):
+    res, cfg_gt, route = teach_result
+    cfg = cfg_mod.encoder_only().replace(
+        camera=cfg_gt.camera, map=cfg_gt.map, planner=cfg_gt.planner)
+    scene = tiny_scene(drop_on_path=False)
+    packed, wps, n_wps = pack_test_route(route, cfg)
+    rep = jax.jit(lambda: run_repeat(
+        scene, packed, res.teach_grid, wps, n_wps, cfg, n_ticks=1500))()
+    xy = np.asarray(rep.trace.gt_xy)
+    nav = np.asarray(rep.trace.nav_xy)
+    from nclt_slam_tpu.fusion import REGIME_ENCODER
+    assert (np.asarray(rep.trace.regime) == REGIME_ENCODER).all()
+    # encoder drifts but still drives the route forward
+    assert xy[:, 0].max() > 20.0
