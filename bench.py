@@ -61,13 +61,56 @@ def main():
     env_steps = n_ticks * substeps * len(names)
     steps_per_sec = env_steps / dt
 
+    # secondary metric: sliding-window BA solves/sec (batched windows)
+    ba_rate = _bench_ba()
+
     baseline = 0.24 * 200.0  # reference: 18-30 % of real time, one route
     print(json.dumps({
         "metric": "env_steps_per_sec_per_chip",
         "value": round(steps_per_sec, 1),
         "unit": "steps/s",
         "vs_baseline": round(steps_per_sec / baseline, 2),
+        "extra": {"ba_solves_per_sec": round(ba_rate, 1),
+                  "routes": len(names), "ticks": n_ticks,
+                  "wall_s": round(dt, 2)},
     }))
+
+
+def _bench_ba(batch: int = 64, iters: int = 8):
+    """Batched sliding-window BA throughput (10 KF x 128 pts per window)."""
+    import numpy as np
+
+    from nclt_slam_tpu import config as cfg_mod
+    from nclt_slam_tpu.vio.ba import BAProblem, solve_ba
+
+    cfg = cfg_mod.DEFAULT
+    rng = np.random.RandomState(0)
+    K, P = cfg.vio.window_kf, cfg.vio.max_points
+
+    def mk(seed):
+        r = np.random.RandomState(seed)
+        return BAProblem(
+            kf_pos=jnp.asarray(np.cumsum(r.normal(0.5, 0.1, (K, 3)), 0),
+                               jnp.float32),
+            kf_quat=jnp.tile(jnp.array([0.0, 0.0, 0.0, 1.0]), (K, 1)),
+            points=jnp.asarray(r.uniform(2, 14, (P, 3)), jnp.float32),
+            obs_uv=jnp.asarray(r.uniform(0, 640, (K, P, 2)), jnp.float32),
+            obs_z=jnp.asarray(r.uniform(1, 12, (K, P)), jnp.float32),
+            obs_w=jnp.asarray(r.rand(K, P) < 0.4, jnp.float32),
+            rel_dp=jnp.asarray(r.normal(0.5, 0.1, (K - 1, 3)), jnp.float32),
+            rel_dq=jnp.tile(jnp.array([0.0, 0.0, 0.0, 1.0]), (K - 1, 1)),
+            w_rel=jnp.float32(100.0))
+
+    probs = jax.tree_util.tree_map(
+        lambda *xs: jnp.stack(xs), *[mk(s) for s in range(batch)])
+    f = jax.jit(jax.vmap(lambda p: solve_ba(
+        p, cfg.camera, cfg.vio, iters=iters)))
+    out = f(probs)
+    jax.block_until_ready(out.kf_pos)
+    t0 = time.perf_counter()
+    out = f(probs)
+    jax.block_until_ready(out.kf_pos)
+    return batch / (time.perf_counter() - t0)
 
 
 if __name__ == "__main__":

@@ -1,0 +1,100 @@
+"""Campaign CLI — the run_all_{teach,repeat}.sh + compute_metrics equivalent,
+as ONE batched program.
+
+    python -m nclt_slam_tpu.cli.campaign --routes all --mode ours --out /tmp/camp
+
+Teaches every route (vmapped), repeats every route with obstacle drops
+(vmapped), prints the reference's per-route + aggregate markdown tables and
+writes metrics.json.
+"""
+
+from __future__ import annotations
+
+import argparse
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--routes", default="all",
+                    help="'all' or comma-separated route names")
+    ap.add_argument("--mode", default="ours",
+                    choices=["ours", "gt", "encoder", "rgbd"])
+    ap.add_argument("--out", required=True)
+    ap.add_argument("--teach-ticks", type=int, default=9000)
+    ap.add_argument("--repeat-ticks", type=int, default=12000)
+    ap.add_argument("--no-obstacles", dest="obstacles", action="store_false",
+                    default=True)
+    ap.add_argument("--scale", type=float, default=1.0)
+    ap.add_argument("--platform", default=None)
+    args = ap.parse_args(argv)
+
+    import jax
+
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+
+    from nclt_slam_tpu.cli.common import config_for, write_metrics
+    from nclt_slam_tpu.rollout.campaign import (
+        build_campaign,
+        campaign_metrics,
+        run_campaign_repeat,
+        run_campaign_teach,
+        teach_waypoints,
+    )
+    from nclt_slam_tpu.scene.routes import ALL_ROUTES
+
+    names = ALL_ROUTES if args.routes == "all" else args.routes.split(",")
+    cfg_teach = config_for("gt", args.scale)
+    cfg = config_for(args.mode, args.scale)
+
+    print(f"[campaign] {len(names)} routes, mode={args.mode}")
+    data = build_campaign(names, cfg=cfg, with_drops=args.obstacles)
+    teach = jax.jit(lambda d: run_campaign_teach(
+        d, cfg_teach, args.teach_ticks))(data)
+    wps, n_wps = teach_waypoints(data, teach, cfg)
+    if args.mode == "gt":
+        rep = jax.jit(lambda d, g, w, n: run_campaign_repeat(
+            d, g, w, n, cfg, args.repeat_ticks))(
+            data, teach.teach_grid, wps, n_wps)
+    else:
+        rep = jax.jit(lambda d, g, w, n, st: run_campaign_repeat(
+            d, g, w, n, cfg, args.repeat_ticks, stores=st))(
+            data, teach.teach_grid, wps, n_wps, teach.store)
+
+    per_route, agg = campaign_metrics(data, rep, wps, n_wps, cfg)
+
+    # reference-style markdown tables (compute_metrics.py main)
+    print("\n# Per-route GT-based metrics\n")
+    print("| route | coverage | final reach | return | "
+          "drift (mean / p95 / max) | GT samples |")
+    print("|---|---|---|---|---|---|")
+    for name, x in per_route.items():
+        cov = (f"{x['cov_visited']}/{x['cov_total']} ({x['cov_pct']:.0f}%)"
+               if x["cov_pct"] is not None else "n/a")
+        final = (f"**{x['final_d']:.1f} m** "
+                 f"{'OK' if x['reached_final'] else 'x'}")
+        ret = (f"**{x['return_d']:.1f} m** "
+               f"{'OK' if x['returned_spawn'] else 'x'}")
+        drift = (f"{x['drift_mean']:.2f} / {x['drift_p95']:.2f} / "
+                 f"{x['drift_max']:.2f} m" if x["drift_mean"] is not None
+                 else "n/a")
+        print(f"| {name} | {cov} | {final} | {ret} | {drift} | "
+              f"{x['gt_samples']} |")
+
+    print("\n# Aggregate\n")
+    print("| routes | reach | return | full success | avg coverage | "
+          "avg drift |")
+    print("|---|---|---|---|---|---|")
+    print(f"| {agg['routes']} | {agg['reach']}/{agg['routes']} | "
+          f"{agg['return']}/{agg['routes']} | "
+          f"{agg['full_success']}/{agg['routes']} | "
+          f"{agg['avg_coverage_pct']:.0f}% | "
+          f"{agg['avg_drift_mean']:.2f} m |")
+
+    p = write_metrics(args.out, {"per_route": per_route, "aggregate": agg})
+    print(f"\n(machine-readable -> {p})")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,3 +1,4 @@
+from nclt_slam_tpu.vio.ba import BAProblem, BAResult, solve_ba
 from nclt_slam_tpu.vio.preintegration import (
     Preintegrated,
     empty_preint,
@@ -13,6 +14,9 @@ from nclt_slam_tpu.vio.tracker import (
 )
 
 __all__ = [
+    "BAProblem",
+    "BAResult",
+    "solve_ba",
     "Preintegrated",
     "empty_preint",
     "integrate_block",

@@ -1,0 +1,225 @@
+"""Sliding-window visual-inertial bundle adjustment (the flagship solver).
+
+Capability match for ORB-SLAM3's g2o local-mapping BA (SURVEY.md §2.3 /
+hard part #1), reshaped for the TPU: fixed window of K keyframe poses and
+P landmarks, dense block algebra, Schur complement over the landmarks, and
+a Cholesky solve of the reduced (6K x 6K) camera system — all einsums and
+small batched matrices that map straight onto the MXU, iterated a fixed
+``iters`` count under ``lax.scan``.
+
+Factors:
+- Huber-weighted pixel reprojection + depth residuals per (kf, landmark)
+  observation (mask-weighted; shapes never change)
+- relative-pose factors between consecutive keyframes from IMU
+  preintegration (or odometry), weighted by ``w_rel``
+- a prior pinning keyframe 0 (gauge freedom)
+
+Parameterization: pose k = (rotvec delta around a linearization quat,
+translation), landmarks as world xyz.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from nclt_slam_tpu.config import CameraConfig, VioConfig
+from nclt_slam_tpu.core.quat import quat_conj, quat_mul, quat_to_mat, so3_exp, so3_log
+from nclt_slam_tpu.sensors.depth import R_BASE_CAM
+
+
+class BAProblem(NamedTuple):
+    """Fixed-shape BA inputs.
+
+    K keyframes, P landmarks.
+    """
+
+    kf_pos: jax.Array      # (K, 3) initial body positions
+    kf_quat: jax.Array     # (K, 4) initial body orientations (xyzw)
+    points: jax.Array      # (P, 3) initial landmark positions
+    obs_uv: jax.Array      # (K, P, 2) observed pixels
+    obs_z: jax.Array       # (K, P) observed camera-frame depth
+    obs_w: jax.Array       # (K, P) observation weights (0 = unobserved)
+    rel_dp: jax.Array      # (K-1, 3) measured relative translation (body i)
+    rel_dq: jax.Array      # (K-1, 4) measured relative rotation
+    w_rel: jax.Array       # () or (K-1,) relative-factor weight
+
+
+class BAResult(NamedTuple):
+    kf_pos: jax.Array
+    kf_quat: jax.Array
+    points: jax.Array
+    final_cost: jax.Array
+
+
+def _project_point(pos, q, X, cam: CameraConfig):
+    """Body pose -> (uv, z) of world point X."""
+    R_wb = quat_to_mat(q)
+    t_bc = jnp.array([cam.cam_offset_fwd, 0.0, cam.cam_offset_up])
+    p_base = R_wb.T @ (X - pos) - t_bc
+    p_cam = R_BASE_CAM.T @ p_base
+    z = jnp.maximum(p_cam[2], 0.1)
+    uv = jnp.array([cam.fx * p_cam[0] / z + cam.cx,
+                    cam.fy * p_cam[1] / z + cam.cy])
+    return uv, p_cam[2]
+
+
+def _residual_one(dpose, dX, pos, q, X, uv_obs, z_obs, cam: CameraConfig):
+    """3-vector residual for one (kf, point) pair, as a function of the
+    increments (dpose (6,), dX (3,)) — linearized via jacfwd."""
+    q_new = quat_mul(q, so3_exp(dpose[:3]))
+    pos_new = pos + dpose[3:]
+    uv, z = _project_point(pos_new, q_new, X + dX, cam)
+    return jnp.concatenate([uv - uv_obs, 20.0 * (z - z_obs)[None]])
+
+
+def solve_ba(prob: BAProblem, cam: CameraConfig, cfg: VioConfig,
+             iters: int | None = None) -> BAResult:
+    K = prob.kf_pos.shape[0]
+    P = prob.points.shape[0]
+    n_iter = iters or cfg.gn_iters
+    damping = cfg.lm_damping
+
+    res_fn = jax.vmap(jax.vmap(
+        _residual_one,
+        in_axes=(None, None, None, None, 0, 0, 0, None)),  # over points
+        in_axes=(None, None, 0, 0, None, 0, 0, None))      # over keyframes
+
+    zero6 = jnp.zeros(6)
+    zero3 = jnp.zeros(3)
+
+    jac_pose = jax.vmap(jax.vmap(
+        lambda pos, q, X, uv, z: jax.jacfwd(
+            lambda d: _residual_one(d, zero3, pos, q, X, uv, z, cam))(zero6),
+        in_axes=(None, None, 0, 0, 0)),
+        in_axes=(0, 0, None, 0, 0))
+    jac_point = jax.vmap(jax.vmap(
+        lambda pos, q, X, uv, z: jax.jacfwd(
+            lambda d: _residual_one(zero6, d, pos, q, X, uv, z, cam))(zero3),
+        in_axes=(None, None, 0, 0, 0)),
+        in_axes=(0, 0, None, 0, 0))
+
+    def rel_residual(pos_i, q_i, pos_j, q_j, dp_meas, dq_meas):
+        """Relative-pose factor residual (6,) between consecutive KFs."""
+        dq_est = quat_mul(quat_conj(q_i), q_j)
+        dp_est = quat_to_mat(q_i).T @ (pos_j - pos_i)
+        r_rot = so3_log(quat_mul(quat_conj(dq_meas), dq_est))
+        r_t = dp_est - dp_meas
+        return jnp.concatenate([r_rot, r_t])
+
+    def gn_step(carry, _):
+        pos, quat, pts = carry
+
+        r = res_fn(zero6, zero3, pos, quat, pts, prob.obs_uv, prob.obs_z,
+                   cam)                                        # (K, P, 3)
+        Jp = jac_pose(pos, quat, pts, prob.obs_uv, prob.obs_z)  # (K, P, 3, 6)
+        Jl = jac_point(pos, quat, pts, prob.obs_uv, prob.obs_z)  # (K, P, 3, 3)
+
+        # Huber on the pixel residual
+        r_norm = jnp.linalg.norm(r[..., :2], axis=-1)
+        hub = jnp.where(r_norm <= cfg.huber_px, 1.0,
+                        cfg.huber_px / jnp.maximum(r_norm, 1e-6))
+        w = prob.obs_w * hub                                    # (K, P)
+
+        Jpw = Jp * w[..., None, None]
+        Jlw = Jl * w[..., None, None]
+
+        # normal-equation blocks (all MXU einsums)
+        H_pp = jnp.einsum("kpri,kprj->kij", Jpw, Jp)            # (K, 6, 6)
+        H_ll = jnp.einsum("kpri,kprj->pij", Jlw, Jl)            # (P, 3, 3)
+        H_pl = jnp.einsum("kpri,kprj->kpij", Jpw, Jl)           # (K, P, 6, 3)
+        g_p = jnp.einsum("kpri,kpr->ki", Jpw, r)                # (K, 6)
+        g_l = jnp.einsum("kpri,kpr->pi", Jlw, r)                # (P, 3)
+
+        # relative-pose factors -> pose-block tridiagonal terms
+        r_rel = jax.vmap(rel_residual)(
+            pos[:-1], quat[:-1], pos[1:], quat[1:],
+            prob.rel_dp, prob.rel_dq)                           # (K-1, 6)
+        Ji = jax.vmap(lambda pi, qi, pj, qj, dp, dq: jax.jacfwd(
+            lambda d: rel_residual(pi + d[3:],
+                                   quat_mul(qi, so3_exp(d[:3])),
+                                   pj, qj, dp, dq))(zero6))(
+            pos[:-1], quat[:-1], pos[1:], quat[1:],
+            prob.rel_dp, prob.rel_dq)                           # (K-1, 6, 6)
+        Jj = jax.vmap(lambda pi, qi, pj, qj, dp, dq: jax.jacfwd(
+            lambda d: rel_residual(pi, qi, pj + d[3:],
+                                   quat_mul(qj, so3_exp(d[:3])),
+                                   dp, dq))(zero6))(
+            pos[:-1], quat[:-1], pos[1:], quat[1:],
+            prob.rel_dp, prob.rel_dq)
+
+        w_rel = jnp.broadcast_to(jnp.asarray(prob.w_rel), (K - 1,))
+
+        # assemble the dense reduced camera system (6K x 6K)
+        H = jnp.zeros((6 * K, 6 * K))
+        g = jnp.zeros(6 * K)
+
+        def put_block(H, i, j, blk):
+            return jax.lax.dynamic_update_slice(H, blk, (6 * i, 6 * j))
+
+        # pose-observation diagonal
+        for k in range(K):
+            H = put_block(H, k, k, H_pp[k])
+            g = jax.lax.dynamic_update_slice(g, g_p[k], (6 * k,))
+
+        # relative factors
+        for k in range(K - 1):
+            wk = w_rel[k]
+            H = put_block(H, k, k,
+                          jax.lax.dynamic_slice(H, (6 * k, 6 * k), (6, 6))
+                          + wk * Ji[k].T @ Ji[k])
+            H = put_block(H, k + 1, k + 1,
+                          jax.lax.dynamic_slice(H, (6 * (k + 1), 6 * (k + 1)), (6, 6))
+                          + wk * Jj[k].T @ Jj[k])
+            H = put_block(H, k, k + 1,
+                          jax.lax.dynamic_slice(H, (6 * k, 6 * (k + 1)), (6, 6))
+                          + wk * Ji[k].T @ Jj[k])
+            H = put_block(H, k + 1, k,
+                          jax.lax.dynamic_slice(H, (6 * (k + 1), 6 * k), (6, 6))
+                          + wk * Jj[k].T @ Ji[k])
+            g = jax.lax.dynamic_update_slice(
+                g, jax.lax.dynamic_slice(g, (6 * k,), (6,))
+                + wk * Ji[k].T @ r_rel[k], (6 * k,))
+            g = jax.lax.dynamic_update_slice(
+                g, jax.lax.dynamic_slice(g, (6 * (k + 1),), (6,))
+                + wk * Jj[k].T @ r_rel[k], (6 * (k + 1),))
+
+        # gauge prior on KF 0
+        PRIOR_W = 1e4
+        H = put_block(H, 0, 0,
+                      jax.lax.dynamic_slice(H, (0, 0), (6, 6))
+                      + PRIOR_W * jnp.eye(6))
+
+        # Schur complement over landmarks:
+        # S = H - sum_p  B_p A_p^-1 B_p^T  with B_p (6K, 3)
+        H_ll_inv = jnp.linalg.inv(
+            H_ll + damping * jnp.eye(3)[None])                  # (P, 3, 3)
+        B = H_pl.transpose(1, 0, 2, 3).reshape(P, 6 * K, 3)     # (P, 6K, 3)
+        S_corr = jnp.einsum("pai,pij,pbj->ab", B, H_ll_inv, B)
+        g_corr = jnp.einsum("pai,pij,pj->a", B, H_ll_inv, g_l)
+
+        S = H - S_corr + damping * jnp.eye(6 * K)
+        rhs = -(g - g_corr)
+        delta_p = jnp.linalg.solve(S, rhs)
+
+        # back-substitute landmarks: Δl_p = -A_p^-1 (g_l_p + B_p^T Δp)
+        Bt_dp = jnp.einsum("pai,a->pi", B, delta_p)             # (P, 3)
+        delta_l = -jnp.einsum("pij,pj->pi", H_ll_inv, g_l + Bt_dp)
+
+        dposes = delta_p.reshape(K, 6)
+        pos_new = pos + dposes[:, 3:]
+        quat_new = jax.vmap(lambda q, d: quat_mul(q, so3_exp(d)))(
+            quat, dposes[:, :3])
+        quat_new = quat_new / jnp.linalg.norm(quat_new, axis=-1, keepdims=True)
+        pts_new = pts + delta_l
+
+        cost = (w * (r ** 2).sum(-1)).sum() + (w_rel[:, None] * r_rel ** 2).sum()
+        return (pos_new, quat_new, pts_new), cost
+
+    (pos, quat, pts), costs = jax.lax.scan(
+        gn_step, (prob.kf_pos, prob.kf_quat, prob.points), None,
+        length=n_iter)
+    return BAResult(kf_pos=pos, kf_quat=quat, points=pts,
+                    final_cost=costs[-1])
