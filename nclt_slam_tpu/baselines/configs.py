@@ -1,0 +1,44 @@
+"""Campaign baseline configs — the reference's two ablation stacks.
+
+The reference compares its hybrid T&R stack against (exp 74) stock Nav2
+(FollowWaypoints + standard controller, none of the hybrid additions) and
+(exp 76) the same pipeline with pure RGB-D ORB-SLAM3 (no IMU) and no
+anchors (routes/README.md:153-210).  In our framework both are pure config
+points over the same jitted rollout — the ablation axis the reference
+needed three separate process stacks for.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+from nclt_slam_tpu import config as cfg_mod
+from nclt_slam_tpu.config import Config, LocalizationMode
+
+
+def stock_nav2() -> Config:
+    """exp 74: stock waypoint following.
+
+    - encoder+SLAM localization without visual anchors (stock Nav2 had no
+      matcher process)
+    - no WP projection / detour ring / known-obstacle gate (those are the
+      thesis's hybrid dispatcher additions)
+    - no wedge / anti-spin recoveries (stock controller_server behaviors
+      differ; the reference baseline mostly stalled — README:229-242)
+    """
+    base = cfg_mod.ours()
+    return base.replace(
+        mode=LocalizationMode(use_slam=True, use_anchors=False,
+                              use_imu=True, use_gt=False),
+        planner=dataclasses.replace(
+            base.planner, enable_detour=False, enable_projection=False,
+            enable_known_obstacle_gate=False),
+        control=dataclasses.replace(
+            base.control, enable_wedge=False, enable_antispin=False),
+    )
+
+
+def rgbd_no_imu() -> Config:
+    """exp 76: our pipeline with pure RGB-D VIO (no inertial term), no
+    anchors — the reference's second baseline."""
+    return cfg_mod.rgbd_no_imu()

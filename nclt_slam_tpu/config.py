@@ -203,6 +203,10 @@ class PlannerConfig:
     detour_samples: int = 24
     detour_max_cost: float = 30.0
     max_waypoints: int = 128           # fixed WP-list capacity (508 m @ 4 m)
+    # ablation switches (stock-Nav2 baseline disables the hybrid additions)
+    enable_detour: bool = True
+    enable_projection: bool = True
+    enable_known_obstacle_gate: bool = True
 
 
 @_frozen
@@ -232,6 +236,10 @@ class ControlConfig:
     wedge_min_disp_m: float = 0.15
     wedge_backup_s: float = 2.5
     wedge_backup_v: float = -0.25
+    # ablation switches
+    enable_wedge: bool = True
+    enable_antispin: bool = True
+    enable_prox: bool = True
 
 
 @_frozen

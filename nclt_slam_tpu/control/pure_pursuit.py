@@ -109,8 +109,8 @@ def follower_tick(state: CtrlState, pos, yaw, path_xy, n_path, path_active,
     v_cap = jnp.where(prox >= cfg.prox_cost_lethal, cfg.v_lethal,
                       jnp.where(prox >= cfg.prox_cost_slow, cfg.v_slow,
                                 cfg.max_vel))
-    prox_hit = v_cap < v
-    v = jnp.minimum(v, v_cap)
+    prox_hit = (v_cap < v) & cfg.enable_prox
+    v = jnp.where(cfg.enable_prox, jnp.minimum(v, v_cap), v)
 
     # --- anti-spin accounting ---
     is_spinning = (jnp.abs(w) >= cfg.spin_w_thresh) & \
@@ -123,7 +123,7 @@ def follower_tick(state: CtrlState, pos, yaw, path_xy, n_path, path_active,
     wedge_disp = _disp_over(state, pos, wedge_ticks)
     in_wedge_backup = t_now < state.wedge_until
     trigger_wedge = (~in_wedge_backup) & (wedge_disp < cfg.wedge_min_disp_m) & \
-                    (v > 0.05) & (state.hist_n > 30)
+                    (v > 0.05) & (state.hist_n > 30) & cfg.enable_wedge
     wedge_until = jnp.where(trigger_wedge, t_now + cfg.wedge_backup_s,
                             state.wedge_until)
     backing = in_wedge_backup | trigger_wedge
@@ -136,7 +136,7 @@ def follower_tick(state: CtrlState, pos, yaw, path_xy, n_path, path_active,
     in_cooldown = t_now < state.cooldown_until
     trigger_spin = (~backing) & (~in_cooldown) & \
                    (spin_accum >= cfg.spin_limit_s) & \
-                   (progress < cfg.min_progress_m)
+                   (progress < cfg.min_progress_m) & cfg.enable_antispin
     cooldown_until = jnp.where(trigger_spin, t_now + cfg.spin_cooldown_s,
                                state.cooldown_until)
     crawling = (~backing) & (in_cooldown | trigger_spin)

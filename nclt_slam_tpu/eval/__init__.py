@@ -1,4 +1,6 @@
 from nclt_slam_tpu.eval.metrics import (
+    average_precision,
+    pr_curve,
     aggregate_metrics,
     align_umeyama_2d,
     ate_rmse,
@@ -12,6 +14,8 @@ from nclt_slam_tpu.eval.metrics import (
 )
 
 __all__ = [
+    "average_precision",
+    "pr_curve",
     "aggregate_metrics",
     "align_umeyama_2d",
     "ate_rmse",

@@ -184,14 +184,16 @@ def dispatch_plan(state: DispatchState, robot_xy, cost_win, win_r0, win_c0,
                   map_cfg: MapConfig, cfg: PlannerConfig) -> DispatchState:
     """Heavy phase — run at a uniform cadence (costmap update ticks):
     reproject WPs, pick target (WP or detour), run the wavefront planner."""
-    state = project_waypoints(state, cost_win, win_r0, win_c0, map_cfg, cfg)
+    if cfg.enable_projection:
+        state = project_waypoints(state, cost_win, win_r0, win_c0, map_cfg, cfg)
 
     idx = jnp.minimum(state.idx, state.n_wps - 1)
     is_final = idx >= state.n_wps - cfg.final_wp_count
     wp = state.wps_proj[idx]
 
     wp_cost = _cost_peak_3x3(cost_win, win_r0, win_c0, wp, map_cfg, cfg.window)
-    known_hit = too_close_to_known(wp, known_xy, known_r, known_active)
+    known_hit = too_close_to_known(wp, known_xy, known_r, known_active) \
+        if cfg.enable_known_obstacle_gate else jnp.array(False)
     unsafe = (~is_final) & (known_hit | (wp_cost >= cfg.lookahead_skip_cost))
 
     def detour_clear(cand):
@@ -200,7 +202,7 @@ def dispatch_plan(state: DispatchState, robot_xy, cost_win, win_r0, win_c0,
 
     detour_xy, detour_ok = find_detour(cost_win, win_r0, win_c0, wp,
                                        map_cfg, cfg)
-    detour_ok = detour_ok & detour_clear(detour_xy)
+    detour_ok = detour_ok & detour_clear(detour_xy) & cfg.enable_detour
     target = jnp.where(unsafe & detour_ok, detour_xy, wp)
     # unsafe with no detour -> mark skip (consumed by dispatch_move)
     skip = state.skip.at[idx].set(state.skip[idx] | (unsafe & ~detour_ok))
@@ -230,8 +232,11 @@ def dispatch_move(state: DispatchState, robot_xy, known_xy, known_r,
 
     # v59 late-detect: abandon a target that sits on a known obstacle once
     # we are close (send_goals follow_waypoint d < 3.0 check)
-    late_detect = (~is_final) & (d < 3.0) & too_close_to_known(
-        state.target, known_xy, known_r, known_active)
+    if cfg.enable_known_obstacle_gate:
+        late_detect = (~is_final) & (d < 3.0) & too_close_to_known(
+            state.target, known_xy, known_r, known_active)
+    else:
+        late_detect = jnp.array(False)
 
     skip_now = (state.skip[idx] | late_detect) & ~is_final
     max_fails = jnp.where(is_final, 10 ** 6, cfg.max_plan_fails)

@@ -1,0 +1,283 @@
+"""Dataset-pipeline components against deterministic mock data (the
+reference's generate_mock_sensors pattern, seed 42)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from nclt_slam_tpu.datasets.calibration import Calibration, xyzrpy_to_matrix
+from nclt_slam_tpu.datasets.loaders import (
+    Session,
+    generate_mock_session,
+    interpolate_sync,
+    nearest_sync,
+)
+from nclt_slam_tpu.datasets.models.place_recognition import (
+    embed,
+    init_params,
+    recall_at_k,
+    train_step,
+    triplet_loss_hard,
+    voxelize,
+)
+from nclt_slam_tpu.datasets.slam.icp import (
+    icp_point_to_point,
+    init_local_map,
+    local_map_flat,
+    local_map_insert,
+    remove_ground_ransac,
+)
+from nclt_slam_tpu.datasets.slam.loop_closure import (
+    PoseGraph2D,
+    optimize_pose_graph,
+    scan_context,
+    sc_distance,
+)
+from nclt_slam_tpu.datasets.utils.gps import lla_to_enu
+from nclt_slam_tpu.datasets.utils.imu_utils import (
+    estimate_biases,
+    imu_preintegration,
+    parse_ms25,
+)
+from nclt_slam_tpu.datasets.utils.point_cloud import voxel_downsample
+
+
+@pytest.fixture(scope="module")
+def mock_session(tmp_path_factory):
+    root = tmp_path_factory.mktemp("nclt_mock") / "2012-01-08"
+    generate_mock_session(root, duration_s=10.0, seed=42)
+    return Session(root)
+
+
+def test_session_loads_all_streams(mock_session):
+    s = mock_session
+    for name in ["ms25", "gps_rtk", "odometry", "kvh", "groundtruth"]:
+        assert name in s, name
+    assert s["groundtruth"].data.shape[1] == 6
+    assert len(s["ms25"].t_us) == 500  # 10 s at 50 Hz
+
+
+def test_nearest_and_interp_sync(mock_session):
+    s = mock_session
+    ref_t = s["groundtruth"].t_us[::10]
+    data, dt, valid = nearest_sync(ref_t, s["ms25"], max_dt_us=100_000)
+    assert valid.all()
+    assert dt.max() <= 20_000  # 50 Hz stream: <= half period + slack
+    interp = interpolate_sync(ref_t, s["odometry"])
+    # odometry x grows at ~1.005 m/s * cos(45°)
+    v = np.diff(interp[:, 0]) / np.diff(ref_t * 1e-6)
+    assert abs(v.mean() - 1.005 * np.cos(np.pi / 4)) < 0.02
+
+
+def test_gps_enu_matches_groundtruth(mock_session):
+    s = mock_session
+    gps = s["gps_rtk"]
+    lat, lon, alt = gps.data[:, 2], gps.data[:, 3], gps.data[:, 4]
+    enu = lla_to_enu(lat, lon, alt, lat[0], lon[0], alt[0])
+    # NE heading at 1 m/s: east == north component, ~10 s -> ~7.07 m
+    assert abs(enu[-1, 0] - enu[-1, 1]) < 0.1
+    assert 6.0 < enu[-1, 0] < 8.0
+
+
+def test_imu_bias_and_preintegration(mock_session):
+    s = mock_session
+    mag, accel, gyro = parse_ms25(s["ms25"].data)
+    a_bias, g_bias = estimate_biases(accel, gyro)
+    assert np.abs(g_bias).max() < 0.01
+    assert np.abs(a_bias).max() < 0.1
+    # stationary-frame preintegration with gravity-compensated accel:
+    out = imu_preintegration(s["ms25"].t_us, accel, gyro,
+                             gravity=(0.0, 0.0, -9.81))
+    assert out["positions"].shape == (500, 3)
+    # z drift should stay small (accel ~ +9.81 vs gravity -9.81)
+    assert abs(out["positions"][-1, 2]) < 5.0
+
+
+def test_calibration_roundtrip():
+    cal = Calibration()
+    T = cal.body_from("velodyne")
+    Ti = cal.sensor_from_body("velodyne")
+    assert np.allclose(T @ Ti, np.eye(4), atol=1e-10)
+    pts = np.random.RandomState(0).normal(size=(10, 3))
+    moved = cal.transform_points("ms25", pts)
+    back = (moved - T_ms25()[:3, 3]) @ T_ms25()[:3, :3]
+    assert np.allclose(back, pts, atol=1e-8)
+
+
+def T_ms25():
+    return xyzrpy_to_matrix(-0.11, -0.18, -0.71, 0, 0, 0, degrees=True)
+
+
+def ring_scan(rng, n=256, radius=10.0, noise=0.02):
+    ang = rng.uniform(0, 2 * np.pi, n)
+    r = radius + rng.normal(0, noise, n)
+    z = rng.uniform(0, 2, n)
+    return np.stack([r * np.cos(ang), r * np.sin(ang), z], -1)
+
+
+def test_icp_recovers_known_transform():
+    rng = np.random.RandomState(1)
+    # structured scene: two walls + scatter
+    wall1 = np.stack([np.linspace(2, 12, 80), np.full(80, 3.0),
+                      rng.uniform(0, 2, 80)], -1)
+    wall2 = np.stack([np.full(80, 10.0), np.linspace(-5, 3, 80),
+                      rng.uniform(0, 2, 80)], -1)
+    scatter = rng.uniform(-5, 15, (96, 3)) * np.array([1, 1, 0.15])
+    dst = np.concatenate([wall1, wall2, scatter]).astype(np.float32)
+    th = 0.05
+    Rz = np.array([[np.cos(th), -np.sin(th), 0],
+                   [np.sin(th), np.cos(th), 0], [0, 0, 1]], np.float32)
+    t_true = np.array([0.3, -0.2, 0.0], np.float32)
+    src = (dst - t_true) @ Rz  # so Rz.T @ src + t == dst
+    valid = np.ones(len(dst), bool)
+    res = jax.jit(lambda s, d: icp_point_to_point(
+        s, jnp.asarray(valid), d, jnp.asarray(valid), iters=25))(
+        jnp.asarray(src), jnp.asarray(dst))
+    moved = np.asarray(src @ np.asarray(res.R).T + np.asarray(res.t))
+    err = np.linalg.norm(moved - dst, axis=-1).mean()
+    assert err < 0.05, err
+    assert float(res.rmse) < 0.05
+
+
+def test_ground_removal():
+    rng = np.random.RandomState(2)
+    ground = np.column_stack([rng.uniform(-10, 10, (200, 2)),
+                              rng.normal(0.0, 0.02, 200)])
+    objects = np.column_stack([rng.uniform(-10, 10, (100, 2)),
+                               rng.uniform(0.8, 2.5, 100)])
+    pts = jnp.asarray(np.concatenate([ground, objects]), jnp.float32)
+    valid = jnp.ones(300, bool)
+    new_valid, n, d = remove_ground_ransac(pts, valid, jax.random.PRNGKey(0))
+    kept = np.asarray(new_valid)
+    assert kept[200:].mean() > 0.9     # objects kept
+    assert kept[:200].mean() < 0.1     # ground removed
+
+
+def test_local_map_ring():
+    m = init_local_map(4, 8)
+    for i in range(6):
+        m = local_map_insert(m, jnp.full((8, 3), float(i)), jnp.ones(8, bool))
+    pts, valid = local_map_flat(m)
+    assert valid.all()
+    # ring keeps the last 4 scans (2..5)
+    vals = set(np.unique(np.asarray(pts)))
+    assert vals == {2.0, 3.0, 4.0, 5.0}
+
+
+def test_scan_context_loop_detection():
+    rng = np.random.RandomState(3)
+    scan_a = ring_scan(rng)
+    scan_b = scan_a + rng.normal(0, 0.05, scan_a.shape)  # revisit
+    scan_c = ring_scan(rng, radius=5.0)                  # different place
+    v = jnp.ones(len(scan_a), bool)
+    d_a = scan_context(jnp.asarray(scan_a, jnp.float32), v)
+    d_b = scan_context(jnp.asarray(scan_b, jnp.float32), v)
+    d_c = scan_context(jnp.asarray(scan_c, jnp.float32), v)
+    d_ab, _ = sc_distance(d_a, d_b)
+    d_ac, _ = sc_distance(d_a, d_c)
+    assert float(d_ab) < float(d_ac)
+    # rotation invariance: rotating the scan barely changes the distance
+    th = 1.1
+    Rz = np.array([[np.cos(th), -np.sin(th), 0],
+                   [np.sin(th), np.cos(th), 0], [0, 0, 1]])
+    d_rot = scan_context(jnp.asarray(scan_a @ Rz.T, jnp.float32), v)
+    d_rot_dist, shift = sc_distance(d_a, d_rot)
+    assert float(d_rot_dist) < 0.15
+
+
+def test_pose_graph_closes_loop():
+    """Square loop with odometry drift; a loop-closure edge fixes it."""
+    K = 41
+    # GT: square 10 m sides, 1 m steps
+    gt = [(0.0, 0.0, 0.0)]
+    for k in range(K - 1):
+        x, y, th = gt[-1]
+        if (k + 1) % 10 == 0:
+            th2 = th + np.pi / 2
+            gt.append((x, y, th2))
+        else:
+            gt.append((x + np.cos(th), y + np.sin(th), th))
+    gt = np.asarray(gt, np.float32)
+
+    # odometry measurements with yaw-rate bias -> drifted open-loop chain
+    rng = np.random.RandomState(4)
+    odo = []
+    for k in range(K - 1):
+        dx = gt[k + 1, :2] - gt[k, :2]
+        c, s = np.cos(gt[k, 2]), np.sin(gt[k, 2])
+        local = (c * dx[0] + s * dx[1], -s * dx[0] + c * dx[1])
+        dth = gt[k + 1, 2] - gt[k, 2]
+        odo.append((local[0] + rng.normal(0, 0.02),
+                    local[1] + rng.normal(0, 0.02),
+                    dth + 0.01))           # yaw bias drifts the chain
+    odo = np.asarray(odo, np.float32)
+
+    # open-loop integrate for the initial guess
+    poses = [gt[0]]
+    for k in range(K - 1):
+        x, y, th = poses[-1]
+        dx, dy, dth = odo[k]
+        poses.append((x + dx * np.cos(th) - dy * np.sin(th),
+                      y + dx * np.sin(th) + dy * np.cos(th), th + dth))
+    poses = np.asarray(poses, np.float32)
+    open_err = np.linalg.norm(poses[-1, :2] - gt[-1, :2])
+
+    L = 4
+    loop_i = np.zeros(L, np.int32)
+    loop_j = np.zeros(L, np.int32)
+    loop_meas = np.zeros((L, 3), np.float32)
+    loop_valid = np.zeros(L, bool)
+    loop_i[0], loop_j[0] = 0, K - 1       # revisit start exactly
+    loop_meas[0] = (0.0, 0.0, gt[-1, 2] - gt[0, 2])
+    loop_valid[0] = True
+
+    graph = PoseGraph2D(
+        poses=jnp.asarray(poses), odo_meas=jnp.asarray(odo),
+        loop_i=jnp.asarray(loop_i), loop_j=jnp.asarray(loop_j),
+        loop_meas=jnp.asarray(loop_meas), loop_valid=jnp.asarray(loop_valid))
+    opt = np.asarray(jax.jit(lambda g: optimize_pose_graph(g, iters=15))(graph))
+    closed_err = np.linalg.norm(opt[-1, :2] - gt[0, :2])
+    assert open_err > 0.5                 # drift was real
+    assert closed_err < 0.15, (open_err, closed_err)
+
+
+def test_voxel_downsample():
+    rng = np.random.RandomState(5)
+    pts = jnp.asarray(rng.uniform(-5, 5, (500, 3)), jnp.float32)
+    valid = jnp.ones(500, bool)
+    out, out_valid = voxel_downsample(pts, valid, voxel=1.0, out_cap=512)
+    n = int(out_valid.sum())
+    assert 100 < n < 500              # genuinely reduced
+    # no two kept points share a voxel
+    cells = np.floor((np.asarray(out)[np.asarray(out_valid)] + 200) / 1.0)
+    keys = {tuple(c) for c in cells}
+    assert len(keys) == n
+
+
+def test_place_recognition_learns():
+    rng = np.random.RandomState(6)
+    key = jax.random.PRNGKey(0)
+    params = init_params(key)
+    # 4 places x 4 noisy revisits
+    grids, labels = [], []
+    bases = [ring_scan(rng, radius=r)
+             for r in (6.0, 10.0, 14.0, 18.0)]
+    for li, base in enumerate(bases):
+        for _ in range(4):
+            scan = base + rng.normal(0, 0.1, base.shape)
+            grids.append(voxelize(jnp.asarray(scan, jnp.float32),
+                                  jnp.ones(len(scan), bool)))
+            labels.append(li)
+    grids = jnp.stack(grids)
+    labels = jnp.asarray(labels)
+
+    step = jax.jit(lambda p, g, l: train_step(p, g, l, lr=3e-3))
+    loss0 = float(triplet_loss_hard(embed(params, grids), labels))
+    for _ in range(30):
+        params, loss = step(params, grids, labels)
+    assert float(loss) < loss0
+
+    emb = embed(params, grids)
+    r1 = recall_at_k(emb[::4], emb, labels[::4], labels, k=2)
+    assert float(r1) > 0.7
