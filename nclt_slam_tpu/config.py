@@ -186,6 +186,7 @@ class PlannerConfig:
 
     window: int = 192                  # local planning crop (cells, 19.2 m)
     sweeps: int = 2                    # Jacobi rounds (x window iterations)
+    use_pallas: bool = True            # VMEM-resident relaxation kernel
     lethal_cost: float = 99.0
     cost_weight: float = 1.0           # NavFn-like cost->traversal penalty weight
     path_len: int = 256                # fixed extracted-path length

@@ -79,11 +79,20 @@ def plan_window(cost, start_rc, goal_rc, map_cfg: MapConfig,
 
     n_iter = cfg.sweeps * W  # each Jacobi sweep propagates one ring
 
-    def body(_, phi):
-        return jnp.minimum(phi, _neighbor_min(phi, tc, 1.4142135))
+    if cfg.use_pallas:
+        import jax as _jax
 
-    # chunked: check convergence is skipped (fixed trip count keeps XLA happy)
-    phi = jax.lax.fori_loop(0, n_iter, body, phi0)
+        from nclt_slam_tpu.ops.wavefront_pallas import wavefront_potential_pallas
+
+        phi = wavefront_potential_pallas(
+            tc, phi0, n_iter=n_iter, res=res,
+            interpret=_jax.default_backend() != "tpu")
+    else:
+        def body(_, phi):
+            return jnp.minimum(phi, _neighbor_min(phi, tc, 1.4142135))
+
+        # fixed trip count keeps XLA happy (no convergence check)
+        phi = jax.lax.fori_loop(0, n_iter, body, phi0)
 
     sr, sc = start_rc
     ok = phi[sr, sc] < BIG

@@ -81,11 +81,6 @@ def _corridor_polylines():
     reference reached the same end by hand-thinning TreeCollision prims."""
     road = ROAD_WPS.astype(np.float64)
     lines = [road, road + np.array([0.0, 26.0]), road + np.array([0.0, -20.0])]
-    anchors = CORNERS + [
-        (-20.0, 30.0), (24.75, -31.69), (-24.32, -12.61), (-20.9, -1.84),
-        (-30.0, 20.0), (27.42, -15.53), (-0.47, 17.48), (-61.5, 8.5),
-        (25.5, -31.55),
-    ]
     # routes 01-03 spawn/turnaround points: connect each to the road system
     for pt in [(-80.0, -1.4), (70.5, -2.7), (-84.4, 4.5), (70.4, -2.3),
                (-94.9, -6.0), (69.7, -5.1)]:
@@ -93,9 +88,19 @@ def _corridor_polylines():
         road_pt = (nearest_x, float(np.interp(nearest_x, road[:, 0], road[:, 1])))
         lines.append(np.array([pt, road_pt], np.float64))
         lines.append(np.array([pt, (pt[0], road_pt[1] + 26.0)], np.float64))
-    for i, a in enumerate(anchors):
-        for b in anchors[i + 1:]:
-            lines.append(np.array([a, b], np.float64))
+    # routes 04-15: carve ONLY the actual spawn->turnaround segments (an
+    # all-pairs anchor mesh strips the forest so bare along the corridors
+    # that the visual pipeline has nothing left to observe)
+    route_pairs = [
+        ((-90.0, 35.0), (65.0, -35.0)), ((65.0, 35.0), (-90.0, -35.0)),
+        ((-90.0, 35.0), (65.0, 35.0)), ((65.0, -35.0), (-90.0, -35.0)),
+        ((-90.0, 35.0), (-90.0, -35.0)), ((65.0, -35.0), (65.0, 35.0)),
+        ((-20.0, 30.0), (24.75, -31.69)), ((-90.0, 35.0), (-24.32, -12.61)),
+        ((65.0, 35.0), (-20.9, -1.84)), ((-30.0, 20.0), (27.42, -15.53)),
+        ((65.0, -35.0), (-0.47, 17.48)), ((-61.5, 8.5), (25.5, -31.55)),
+    ]
+    for a, b in route_pairs:
+        lines.append(np.array([a, b], np.float64))
     return lines
 
 
@@ -180,16 +185,47 @@ def build_scene(seed: int = 7) -> SceneColliders:
 
     scatter(130, KIND_TREE, road_min=4.0, margin=3.0, clump=2)
     scatter(28, KIND_ROCK, road_min=3.0, margin=2.0)
-    scatter(357, KIND_SHRUB, road_min=2.5, margin=0.5, clump=4)
+    scatter(297, KIND_SHRUB, road_min=2.5, margin=0.5, clump=4)
     scatter(4, KIND_BARREL, road_min=2.0, margin=2.0)
 
+    # Verge rocks: small feature-rich litter just OUTSIDE the corridor
+    # clearance (r 0.25 -> inflated 2.65 m < placement distance), so the
+    # visual pipeline always has nearby texture without hurting
+    # plannability.  The reference forest has ground litter everywhere;
+    # the corridor carve above would otherwise leave feature deserts.
+    n_verge = 120
+    placed = 0
+    tries = 0
+    r_v, h_v = 0.25, 0.45
+    while placed < n_verge and tries < n_verge * 60:
+        tries += 1
+        ln = corridors[int(rng.randint(len(corridors)))]
+        seg = int(rng.randint(len(ln) - 1))
+        t = rng.uniform()
+        p = ln[seg] * (1 - t) + ln[seg + 1] * t
+        tang = ln[seg + 1] - ln[seg]
+        nrm = np.array([-tang[1], tang[0]])
+        nrm = nrm / (np.linalg.norm(nrm) + 1e-9)
+        q = p + nrm * rng.uniform(2.9, 4.5) * rng.choice([-1.0, 1.0])
+        x, y = float(q[0]), float(q[1])
+        if not (X_MIN + 3 < x < X_MAX - 3 and Y_MIN + 3 < y < Y_MAX - 3):
+            continue
+        if corridor_dist(x, y) < 2.9:
+            continue
+        if not clear_of_existing(x, y, r_v, margin=0.5):
+            continue
+        entries.append((x, y, r_v, h_v, KIND_ROCK))
+        placed += 1
+
     # Roadside trees: deliberately near the road edge (visual landmarks for
-    # the VIO along routes 01-03), alternating sides.
+    # the VIO along routes 01-03), alternating sides; still subject to the
+    # corridor clearance so they can't block a spawn connector.
     r, h = KIND_GEOM[KIND_ROADSIDE_TREE]
     for i, x in enumerate(np.linspace(-85.0, 65.0, 7)):
         side = 1.0 if i % 2 == 0 else -1.0
         yr = float(np.interp(x, ROAD_WPS[:, 0], ROAD_WPS[:, 1])) + side * 5.5
-        entries.append((float(x), yr, r, h, KIND_ROADSIDE_TREE))
+        if corridor_dist(float(x), yr) >= CORRIDOR_CLEAR + r:
+            entries.append((float(x), yr, r, h, KIND_ROADSIDE_TREE))
 
     n = len(entries)
     assert n <= CAPACITY, f"scene overflow: {n} > {CAPACITY}"
@@ -208,9 +244,21 @@ def build_scene(seed: int = 7) -> SceneColliders:
 
 
 _scene_cache: dict[int, SceneColliders] = {}
+_DATA_DIR = __import__("pathlib").Path(__file__).parent / "data"
 
 
 def default_scene(seed: int = 7) -> SceneColliders:
     if seed not in _scene_cache:
-        _scene_cache[seed] = build_scene(seed)
+        p = _DATA_DIR / f"scene_seed{seed}.npz"
+        if p.is_file():
+            z = np.load(p)
+            _scene_cache[seed] = SceneColliders(
+                xy=z["xy"], radius=z["radius"], height=z["height"],
+                kind=z["kind"], valid=z["valid"])
+        else:
+            _scene_cache[seed] = build_scene(seed)
+            p.parent.mkdir(parents=True, exist_ok=True)
+            sc = _scene_cache[seed]
+            np.savez_compressed(p, xy=sc.xy, radius=sc.radius,
+                                height=sc.height, kind=sc.kind, valid=sc.valid)
     return _scene_cache[seed]

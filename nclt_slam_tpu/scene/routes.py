@@ -278,14 +278,51 @@ def generate_route(name: str, scene: SceneColliders | None = None,
 _route_cache: dict[tuple, Route] = {}
 _grid_cache: dict[int, np.ndarray] = {}
 
+# Disk cache: offline route generation (Python A* over the inflated grid)
+# costs tens of seconds per diagonal route; generated routes for the default
+# scene are cached as package data so runtime users just load arrays.
+_DATA_DIR = __import__("pathlib").Path(__file__).parent / "data"
+
+
+def _route_cache_path(name: str, seed: int):
+    return _DATA_DIR / f"route_{name}_seed{seed}.npz"
+
+
+def _load_cached_route(name: str, seed: int) -> Route | None:
+    p = _route_cache_path(name, seed)
+    if not p.is_file():
+        return None
+    z = np.load(p)
+    return Route(name=name, dense_xy=z["dense_xy"], n_dense=int(z["n_dense"]),
+                 spawn=tuple(z["spawn"]), spawn_yaw=float(z["spawn_yaw"]),
+                 turnaround=tuple(z["turnaround"]),
+                 turnaround_idx=int(z["turnaround_idx"]))
+
+
+def _save_cached_route(route: Route, seed: int):
+    _DATA_DIR.mkdir(parents=True, exist_ok=True)
+    np.savez_compressed(
+        _route_cache_path(route.name, seed),
+        dense_xy=route.dense_xy, n_dense=route.n_dense,
+        spawn=np.asarray(route.spawn), spawn_yaw=route.spawn_yaw,
+        turnaround=np.asarray(route.turnaround),
+        turnaround_idx=route.turnaround_idx)
+
 
 def get_route(name: str, seed: int = 7) -> Route:
+    if name not in ROUTE_META:
+        raise KeyError(name)
     key = (name, seed)
     if key not in _route_cache:
-        scene = default_scene(seed)
-        if seed not in _grid_cache:
-            _grid_cache[seed] = build_grid(scene)
-        _route_cache[key] = generate_route(name, scene, _grid_cache[seed])
+        cached = _load_cached_route(name, seed)
+        if cached is not None:
+            _route_cache[key] = cached
+        else:
+            scene = default_scene(seed)
+            if seed not in _grid_cache:
+                _grid_cache[seed] = build_grid(scene)
+            _route_cache[key] = generate_route(name, scene, _grid_cache[seed])
+            _save_cached_route(_route_cache[key], seed)
     return _route_cache[key]
 
 
