@@ -184,3 +184,71 @@ def generate_mock_session(out_dir, duration_s: float = 10.0, seed: int = 42):
         t_kvh, np.full(len(t_kvh), heading) + rng.normal(0, 0.001, len(t_kvh))])
     np.savetxt(out / "kvh.csv", kvh, delimiter=",", fmt="%.6f")
     return out
+
+
+# ---------------------------------------------------------------------------
+# binary LiDAR loaders (velodyne_sync / hokuyo formats)
+# ---------------------------------------------------------------------------
+
+def load_velodyne_bin(path) -> np.ndarray:
+    """NCLT velodyne_sync .bin scan -> (N, 4) [x, y, z, intensity].
+
+    NCLT packs each point as 3 little-endian uint16 (x, y, z scaled by
+    0.005 m with a -100 m offset) + intensity byte + laser-id byte
+    (datasets/nclt/src/data_loaders/velodyne_loader.py semantics)."""
+    raw = np.fromfile(path, dtype=np.uint8)
+    n = len(raw) // 8
+    rec = raw[: n * 8].reshape(n, 8)
+    xyz_u16 = rec[:, :6].copy().view("<u2").reshape(n, 3)
+    xyz = xyz_u16.astype(np.float32) * 0.005 - 100.0
+    intensity = rec[:, 6].astype(np.float32)
+    return np.column_stack([xyz, intensity])
+
+
+def save_velodyne_bin(path, xyz, intensity=None):
+    """Inverse of load_velodyne_bin (mock/scan export)."""
+    n = len(xyz)
+    u16 = np.clip((np.asarray(xyz) + 100.0) / 0.005, 0, 65535).astype("<u2")
+    rec = np.zeros((n, 8), np.uint8)
+    rec[:, :6] = u16.view(np.uint8).reshape(n, 6)
+    rec[:, 6] = (intensity if intensity is not None
+                 else np.zeros(n)).astype(np.uint8)
+    rec[:, 7] = 0
+    Path(path).parent.mkdir(parents=True, exist_ok=True)
+    rec.tofile(path)
+    return path
+
+
+def load_hokuyo_packets(path, n_rays: int = 1081,
+                        angle_span: float = np.deg2rad(270.0)):
+    """Hokuyo UTM-30LX packet stream -> (timestamps (K,), ranges (K, R)).
+
+    Stream of [int64 t_us | R float32 ranges] records (planar scans);
+    returns ranges in meters with the standard 270° span."""
+    rec_bytes = 8 + 4 * n_rays
+    raw = np.fromfile(path, dtype=np.uint8)
+    k = len(raw) // rec_bytes
+    rec = raw[: k * rec_bytes].reshape(k, rec_bytes)
+    t = rec[:, :8].copy().view("<i8").ravel()
+    rng = rec[:, 8:].copy().view("<f4").reshape(k, n_rays)
+    return t, rng
+
+
+def save_hokuyo_packets(path, t_us, ranges):
+    k, n_rays = ranges.shape
+    rec = np.zeros((k, 8 + 4 * n_rays), np.uint8)
+    rec[:, :8] = np.asarray(t_us, "<i8").view(np.uint8).reshape(k, 8)
+    rec[:, 8:] = np.asarray(ranges, "<f4").view(np.uint8).reshape(k, -1)
+    Path(path).parent.mkdir(parents=True, exist_ok=True)
+    rec.tofile(path)
+    return path
+
+
+def hokuyo_to_points(ranges, angle_span: float = np.deg2rad(270.0),
+                     r_min: float = 0.1, r_max: float = 30.0):
+    """Planar ranges (R,) -> (R, 2) points in the sensor frame + validity."""
+    n = ranges.shape[-1]
+    ang = np.linspace(-angle_span / 2, angle_span / 2, n)
+    pts = np.stack([ranges * np.cos(ang), ranges * np.sin(ang)], -1)
+    valid = (ranges > r_min) & (ranges < r_max)
+    return pts, valid

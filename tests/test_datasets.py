@@ -281,3 +281,52 @@ def test_place_recognition_learns():
     emb = embed(params, grids)
     r1 = recall_at_k(emb[::4], emb, labels[::4], labels, k=2)
     assert float(r1) > 0.7
+
+
+def test_velodyne_bin_roundtrip(tmp_path):
+    from nclt_slam_tpu.datasets.loaders import load_velodyne_bin, save_velodyne_bin
+    rng = np.random.RandomState(7)
+    xyz = rng.uniform(-50, 50, (300, 3)).astype(np.float32)
+    inten = rng.randint(0, 255, 300)
+    p = save_velodyne_bin(tmp_path / "scan.bin", xyz, inten)
+    back = load_velodyne_bin(p)
+    assert back.shape == (300, 4)
+    assert np.abs(back[:, :3] - xyz).max() < 0.005  # quantization step
+    assert np.array_equal(back[:, 3].astype(int), inten)
+
+
+def test_hokuyo_roundtrip(tmp_path):
+    from nclt_slam_tpu.datasets.loaders import (
+        hokuyo_to_points,
+        load_hokuyo_packets,
+        save_hokuyo_packets,
+    )
+    rng = np.random.RandomState(8)
+    t = np.arange(5) * 25_000 + 10 ** 15
+    ranges = rng.uniform(0.5, 25.0, (5, 1081)).astype(np.float32)
+    p = save_hokuyo_packets(tmp_path / "hokuyo.bin", t, ranges)
+    t2, r2 = load_hokuyo_packets(p)
+    assert np.array_equal(t2, t)
+    assert np.allclose(r2, ranges)
+    pts, valid = hokuyo_to_points(r2[0])
+    assert valid.all()
+    assert np.allclose(np.hypot(pts[:, 0], pts[:, 1]), r2[0], atol=1e-4)
+
+
+def test_euroc_roundtrip(tmp_path):
+    from nclt_slam_tpu.io.euroc import export_euroc, load_euroc_groundtruth
+    rng = np.random.RandomState(9)
+    n = 20
+    t = np.arange(n) * 0.1
+    xyz = np.cumsum(rng.normal(0, 0.1, (n, 3)), 0)
+    q = rng.normal(size=(n, 4))
+    q /= np.linalg.norm(q, axis=-1, keepdims=True)
+    root = export_euroc(tmp_path, t, xyz, q,
+                        imu_t_s=np.arange(n * 10) * 0.01,
+                        imu_gyro=rng.normal(0, 0.1, (n * 10, 3)),
+                        imu_accel=rng.normal(0, 1, (n * 10, 3)))
+    assert (root / "imu0" / "data.csv").is_file()
+    t2, xyz2, q2 = load_euroc_groundtruth(root)
+    assert np.allclose(t2, t, atol=1e-6)
+    assert np.allclose(xyz2, xyz, atol=1e-5)
+    assert np.allclose(np.abs((q2 * q).sum(-1)), 1.0, atol=1e-5)
