@@ -108,3 +108,43 @@ def campaign_metrics(data: CampaignData, repeat: RepeatResult, wps, n_wps,
             wp_tol=cfg.eval.wp_tol_m, endpoint_tol=cfg.eval.endpoint_tol_m,
             drift_period=cfg.eval.drift_log_period)
     return per_route, aggregate_metrics(per_route)
+
+
+def expand_for_ablations(data: CampaignData, teach_grids, wps, n_wps,
+                         stores=None, ablations=("drops", "clean")):
+    """Expand the route batch with an obstacle-ablation axis.
+
+    The reference ran obstacle/no-obstacle comparisons as separate process
+    campaigns; here "ablation" is just more batch: each route appears once
+    per ablation, with the drop colliders masked out for "clean".  Returns
+    (expanded CampaignData, teach_grids, wps, n_wps, stores, labels).
+    """
+    reps = len(ablations)
+
+    def tile(tree):
+        return jax.tree_util.tree_map(
+            lambda x: jnp.concatenate([x] * reps, axis=0), tree)
+
+    scenes = []
+    for ab in ablations:
+        if ab == "drops":
+            scenes.append(data.scenes_repeat)
+        elif ab == "clean":
+            cleaned = data.scenes_repeat._replace(
+                valid=data.scenes_repeat.valid
+                & ~data.scenes_repeat.drop_mask)
+            scenes.append(cleaned)
+        else:
+            raise ValueError(f"unknown ablation {ab!r}")
+    scenes_rep = jax.tree_util.tree_map(
+        lambda *xs: jnp.concatenate(xs, axis=0), *scenes)
+
+    labels = tuple(f"{n}@{ab}" for ab in ablations for n in data.names)
+    expanded = CampaignData(
+        scenes_teach=tile(data.scenes_teach),
+        scenes_repeat=scenes_rep,
+        routes=tile(data.routes),
+        names=labels)
+    out_stores = tile(stores) if stores is not None else None
+    return (expanded, tile(teach_grids), tile(wps), tile(n_wps), out_stores,
+            labels)

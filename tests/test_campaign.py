@@ -96,3 +96,25 @@ def test_eval_primitives():
     v, t, _ = wp_coverage(gt_path, wps, (12.0, 0.0))
     assert t == 7
     assert v == 4  # outbound WPs only
+
+
+def test_ablation_axis(mini_campaign):
+    """Obstacle ablation = extra batch entries with drops masked out."""
+    import jax.numpy as jnp
+
+    from nclt_slam_tpu.rollout.campaign import expand_for_ablations
+
+    cfg, data, teach = mini_campaign
+    wps, n_wps = teach_waypoints(data, teach, cfg)
+    exp, tg, wp, nw, st, labels = expand_for_ablations(
+        data, teach.teach_grid, wps, n_wps)
+    assert len(labels) == 4
+    assert exp.routes.spawn.shape[0] == 4
+    # clean entries have all drop slots invalid
+    v = np.asarray(exp.scenes_repeat.valid)
+    dm = np.asarray(exp.scenes_repeat.drop_mask)
+    assert not (v[2:] & dm[2:]).any()
+    rep = jax.jit(lambda d, g, w, n: run_campaign_repeat(
+        d, g, w, n, cfg, 150))(exp, tg, wp, nw)
+    assert rep.trace.gt_xy.shape[0] == 4
+    assert bool(jnp.isfinite(rep.trace.gt_xy).all())

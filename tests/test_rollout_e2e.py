@@ -197,3 +197,35 @@ def test_repeat_encoder_only_ablation(teach_result):
     assert (np.asarray(rep.trace.regime) == REGIME_ENCODER).all()
     # encoder drifts but still drives the route forward
     assert xy[:, 0].max() > 20.0
+
+
+def test_checkpoint_resume_exact(teach_result):
+    """Mid-rollout checkpoint -> resume continues bit-exactly (the aux
+    capability the reference lacks: it can only rerun failed routes)."""
+    import jax.numpy as jnp
+
+    from nclt_slam_tpu.io.artifacts import load_checkpoint, save_checkpoint
+    from nclt_slam_tpu.landmarks.store import init_store
+    from nclt_slam_tpu.rollout.repeat import init_repeat_carry, repeat_step
+
+    res, cfg, route = teach_result
+    scene = tiny_scene(drop_on_path=False)
+    packed, wps, n_wps = pack_test_route(route, cfg)
+    store = init_store(cfg.landmarks)
+    step = jax.jit(lambda c, t: repeat_step(
+        c, t, scene, packed, res.teach_grid, store, cfg))
+
+    carry = init_repeat_carry(packed, wps, n_wps, cfg)
+    for t in range(40):
+        carry, _ = step(carry, jnp.int32(t))
+
+    ckpt = save_checkpoint(carry, "/tmp/resume_test/carry.ckpt")
+    carry_a = carry
+    carry_b = load_checkpoint(ckpt)
+
+    for t in range(40, 60):
+        carry_a, _ = step(carry_a, jnp.int32(t))
+        carry_b, _ = step(carry_b, jnp.int32(t))
+    assert np.allclose(np.asarray(carry_a.robot.xy),
+                       np.asarray(carry_b.robot.xy), atol=0)
+    assert int(carry_a.dispatch.idx) == int(carry_b.dispatch.idx)
