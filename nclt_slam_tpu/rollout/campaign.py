@@ -19,9 +19,14 @@ import numpy as np
 from nclt_slam_tpu.config import Config
 from nclt_slam_tpu.eval.metrics import aggregate_metrics, route_metrics
 from nclt_slam_tpu.planning.dispatcher import subsample_waypoints
-from nclt_slam_tpu.rollout.repeat import RepeatResult, run_repeat
+from nclt_slam_tpu.landmarks.store import init_store
+from nclt_slam_tpu.rollout.repeat import (
+    RepeatResult,
+    init_repeat_carry,
+    run_repeat,
+)
 from nclt_slam_tpu.rollout.scene_pack import pack_route, pack_scene
-from nclt_slam_tpu.rollout.teach import TeachResult, run_teach
+from nclt_slam_tpu.rollout.teach import TeachResult, init_teach_carry, run_teach
 from nclt_slam_tpu.scene.colliders import default_scene
 from nclt_slam_tpu.scene.obstacles import build_drops, no_drops
 from nclt_slam_tpu.scene.routes import ALL_ROUTES, get_route
@@ -59,10 +64,40 @@ def build_campaign(route_names=None, seed: int = 7, cfg: Config | None = None,
                         routes=packed_routes, names=tuple(names))
 
 
-def run_campaign_teach(data: CampaignData, cfg: Config,
-                       n_ticks: int) -> TeachResult:
-    f = jax.vmap(lambda sc, rt: run_teach(sc, rt, cfg, n_ticks))
-    return f(data.scenes_teach, data.routes)
+def _concat_traces(chunks, n_ticks):
+    # trim the final chunk's overshoot so traces are exactly n_ticks long
+    return jax.tree_util.tree_map(
+        lambda *xs: np.concatenate([np.asarray(x) for x in xs],
+                                   axis=1)[:, :n_ticks],
+        *chunks)
+
+
+def run_campaign_teach(data: CampaignData, cfg: Config, n_ticks: int,
+                       chunk: int = 500, progress=None) -> TeachResult:
+    """Batched teach, chunked at the host level: very long single XLA
+    programs (tens of minutes) can trip device/runtime watchdogs, and
+    chunking gives free progress reporting + checkpointability."""
+    chunk = min(chunk, n_ticks)
+    f = jax.jit(jax.vmap(
+        lambda sc, rt, c, t0: run_teach(sc, rt, cfg, chunk, carry=c,
+                                        tick0=t0),
+        in_axes=(0, 0, 0, None)))
+    carry = jax.vmap(lambda rt: init_teach_carry(rt, cfg))(data.routes)
+    traces = []
+    res = None
+    for t0 in range(0, n_ticks, chunk):
+        res = f(data.scenes_teach, data.routes, carry, jnp.int32(t0))
+        carry = res.final
+        traces.append(res.trace)
+        if progress:
+            progress(t0 + chunk, n_ticks,
+                     int(np.asarray(res.trace.done)[:, -1].sum()))
+        if np.asarray(res.trace.done)[:, -1].all():
+            break
+    trace = _concat_traces(traces, n_ticks)
+    n_valid = jnp.asarray((~trace.done).sum(axis=1).astype(np.int32))
+    return TeachResult(trace=trace, teach_grid=res.teach_grid,
+                       store=res.store, n_ticks=n_valid, final=res.final)
 
 
 def teach_waypoints(data: CampaignData, teach: TeachResult, cfg: Config):
@@ -81,15 +116,33 @@ def teach_waypoints(data: CampaignData, teach: TeachResult, cfg: Config):
 
 
 def run_campaign_repeat(data: CampaignData, teach_grids, wps, n_wps,
-                        cfg: Config, n_ticks: int,
-                        stores=None) -> RepeatResult:
+                        cfg: Config, n_ticks: int, stores=None,
+                        chunk: int = 500, progress=None) -> RepeatResult:
+    """Batched repeat, chunked like run_campaign_teach."""
+    chunk = min(chunk, n_ticks)
     if stores is None:
-        f = jax.vmap(lambda sc, rt, tg, wp, nw: run_repeat(
-            sc, rt, tg, wp, nw, cfg, n_ticks))
-        return f(data.scenes_repeat, data.routes, teach_grids, wps, n_wps)
-    f = jax.vmap(lambda sc, rt, tg, wp, nw, st: run_repeat(
-        sc, rt, tg, wp, nw, cfg, n_ticks, store=st))
-    return f(data.scenes_repeat, data.routes, teach_grids, wps, n_wps, stores)
+        stores = jax.vmap(lambda _: init_store(cfg.landmarks))(
+            jnp.arange(wps.shape[0]))
+    f = jax.jit(jax.vmap(
+        lambda sc, rt, tg, wp, nw, st, c, t0: run_repeat(
+            sc, rt, tg, wp, nw, cfg, chunk, store=st, carry=c, tick0=t0),
+        in_axes=(0, 0, 0, 0, 0, 0, 0, None)))
+    carry = jax.vmap(lambda rt, wp, nw: init_repeat_carry(rt, wp, nw, cfg))(
+        data.routes, wps, n_wps)
+    traces = []
+    res = None
+    for t0 in range(0, n_ticks, chunk):
+        res = f(data.scenes_repeat, data.routes, teach_grids, wps, n_wps,
+                stores, carry, jnp.int32(t0))
+        carry = res.final
+        traces.append(res.trace)
+        if progress:
+            progress(t0 + chunk, n_ticks,
+                     int(np.asarray(res.trace.done)[:, -1].sum()))
+        if np.asarray(res.trace.done)[:, -1].all():
+            break
+    trace = _concat_traces(traces, n_ticks)
+    return RepeatResult(trace=trace, final=res.final)
 
 
 def campaign_metrics(data: CampaignData, repeat: RepeatResult, wps, n_wps,

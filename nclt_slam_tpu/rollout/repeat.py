@@ -263,15 +263,19 @@ def init_repeat_carry(route: PackedRoute, wps, n_wps, cfg: Config,
 
 def run_repeat(scene: PackedScene, route: PackedRoute, teach_grid, wps, n_wps,
                cfg: Config, n_ticks: int, seed: int = 1,
-               store: LandmarkStore | None = None) -> RepeatResult:
+               store: LandmarkStore | None = None,
+               carry: RepeatCarry | None = None,
+               tick0: int = 0) -> RepeatResult:
     """Roll the repeat pass with teach artefacts (map + waypoints +
-    landmark store)."""
+    landmark store).  ``carry``/``tick0`` allow chunked execution (the final
+    carry is in ``result.final``)."""
     if store is None:
         store = init_store(cfg.landmarks)
-    carry = init_repeat_carry(route, wps, n_wps, cfg, seed)
+    if carry is None:
+        carry = init_repeat_carry(route, wps, n_wps, cfg, seed)
 
     def body(c, t):
         return repeat_step(c, t, scene, route, teach_grid, store, cfg)
 
-    carry, trace = jax.lax.scan(body, carry, jnp.arange(n_ticks))
+    carry, trace = jax.lax.scan(body, carry, tick0 + jnp.arange(n_ticks))
     return RepeatResult(trace=trace, final=carry)

@@ -49,7 +49,7 @@ class TeachResult(NamedTuple):
     teach_grid: jax.Array  # trinary int8 map
     store: LandmarkStore   # landmarks.pkl artefact pytree
     n_ticks: jax.Array     # () int32 valid tick count
-    final_robot: RobotState
+    final: "TeachCarry"    # carry for chunked continuation
 
 
 def _scene_features(scene: PackedScene) -> SceneFeatures:
@@ -132,11 +132,10 @@ def teach_step(carry: TeachCarry, tick, scene: PackedScene, route: PackedRoute,
                       done=carry.done | done), trace
 
 
-def run_teach(scene: PackedScene, route: PackedRoute, cfg: Config,
-              n_ticks: int, seed: int = 0) -> TeachResult:
-    """Roll the full teach pass.  ``n_ticks`` is static (scan length)."""
+def init_teach_carry(route: PackedRoute, cfg: Config,
+                     seed: int = 0) -> TeachCarry:
     robot = init_robot(route.spawn[0], route.spawn[1], route.spawn_yaw)
-    carry = TeachCarry(
+    return TeachCarry(
         robot=robot,
         grid=empty_grid(cfg.map),
         store=init_store(cfg.landmarks),
@@ -145,15 +144,25 @@ def run_teach(scene: PackedScene, route: PackedRoute, cfg: Config,
         done=jnp.array(False),
     )
 
+
+def run_teach(scene: PackedScene, route: PackedRoute, cfg: Config,
+              n_ticks: int, seed: int = 0, carry: TeachCarry | None = None,
+              tick0: int = 0) -> TeachResult:
+    """Roll the teach pass.  ``n_ticks`` is static (scan length);
+    ``carry``/``tick0`` allow chunked execution (long single XLA programs
+    can trip device watchdogs — see rollout/campaign.run_chunked)."""
+    if carry is None:
+        carry = init_teach_carry(route, cfg, seed)
+
     def body(c, t):
         return teach_step(c, t, scene, route, cfg)
 
-    carry, trace = jax.lax.scan(body, carry, jnp.arange(n_ticks))
+    carry, trace = jax.lax.scan(body, carry, tick0 + jnp.arange(n_ticks))
     n_valid = (~trace.done).sum().astype(jnp.int32)
     return TeachResult(
         trace=trace,
         teach_grid=occupancy_trinary(carry.grid, cfg.map),
         store=carry.store,
         n_ticks=n_valid,
-        final_robot=carry.robot,
+        final=carry,
     )

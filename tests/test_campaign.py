@@ -32,7 +32,7 @@ def small_cfg():
 def mini_campaign():
     cfg = small_cfg()
     data = build_campaign(["01_road", "03_south"], cfg=cfg)
-    teach = jax.jit(lambda d: run_campaign_teach(d, cfg, 600))(data)
+    teach = run_campaign_teach(data, cfg, 600)
     return cfg, data, teach
 
 
@@ -49,8 +49,7 @@ def test_campaign_teach_batched(mini_campaign):
 def test_campaign_repeat_and_metrics(mini_campaign):
     cfg, data, teach = mini_campaign
     wps, n_wps = teach_waypoints(data, teach, cfg)
-    rep = jax.jit(lambda d, g, w, n: run_campaign_repeat(d, g, w, n, cfg, 700))(
-        data, teach.teach_grid, wps, n_wps)
+    rep = run_campaign_repeat(data, teach.teach_grid, wps, n_wps, cfg, 700)
     per_route, agg = campaign_metrics(data, rep, wps, n_wps, cfg)
     assert set(per_route) == {"01_road", "03_south"}
     assert agg["routes"] == 2
@@ -114,7 +113,6 @@ def test_ablation_axis(mini_campaign):
     v = np.asarray(exp.scenes_repeat.valid)
     dm = np.asarray(exp.scenes_repeat.drop_mask)
     assert not (v[2:] & dm[2:]).any()
-    rep = jax.jit(lambda d, g, w, n: run_campaign_repeat(
-        d, g, w, n, cfg, 150))(exp, tg, wp, nw)
+    rep = run_campaign_repeat(exp, tg, wp, nw, cfg, 150)
     assert rep.trace.gt_xy.shape[0] == 4
     assert bool(jnp.isfinite(rep.trace.gt_xy).all())
