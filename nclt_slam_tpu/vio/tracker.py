@@ -39,6 +39,7 @@ from nclt_slam_tpu.sensors.features import Observation, cross_check_match
 from nclt_slam_tpu.vio.preintegration import empty_preint, integrate_block, propagate
 
 MAP_CAP = 384
+KF_OBS = 48   # stored observations per keyframe (local-BA factors)
 
 
 class VioState(NamedTuple):
@@ -53,9 +54,20 @@ class VioState(NamedTuple):
     lost: jax.Array       # () bool
     n_tracked: jax.Array  # () int32 matches in the last frame
     frames: jax.Array     # () int32
+    # --- sliding keyframe window (local BA) ---
+    kf_pos: jax.Array       # (K, 3)
+    kf_quat: jax.Array      # (K, 4)
+    kf_valid: jax.Array     # (K,)
+    kf_ptr: jax.Array       # () int32 ring cursor (newest = ptr-1)
+    kf_obs_slot: jax.Array  # (K, KF_OBS) map slot ids
+    kf_obs_uv: jax.Array    # (K, KF_OBS, 2)
+    kf_obs_z: jax.Array     # (K, KF_OBS)
+    kf_obs_valid: jax.Array  # (K, KF_OBS)
+    last_kf_pos: jax.Array  # (3,)
 
 
-def init_vio(desc_words: int) -> VioState:
+def init_vio(desc_words: int, window_kf: int = 10) -> VioState:
+    K = window_kf
     return VioState(
         pos=jnp.zeros(3), vel=jnp.zeros(3),
         q=jnp.array([0.0, 0.0, 0.0, 1.0]),
@@ -67,6 +79,15 @@ def init_vio(desc_words: int) -> VioState:
         lost=jnp.array(False),
         n_tracked=jnp.int32(0),
         frames=jnp.int32(0),
+        kf_pos=jnp.zeros((K, 3)),
+        kf_quat=jnp.tile(jnp.array([0.0, 0.0, 0.0, 1.0]), (K, 1)),
+        kf_valid=jnp.zeros(K, bool),
+        kf_ptr=jnp.int32(0),
+        kf_obs_slot=jnp.zeros((K, KF_OBS), jnp.int32),
+        kf_obs_uv=jnp.zeros((K, KF_OBS, 2)),
+        kf_obs_z=jnp.zeros((K, KF_OBS)),
+        kf_obs_valid=jnp.zeros((K, KF_OBS), bool),
+        last_kf_pos=jnp.full(3, 1e9),
     )
 
 
@@ -212,13 +233,45 @@ def vio_frame(state: VioState, obs: Observation, imu_block_meas, dt_frame,
     map_valid = map_valid & (age < 600)
 
     lost = (~first) & (n_match < 8)
+
+    # --- keyframe push (every kf_min_disp of tracked motion) ---
+    K = state.kf_pos.shape[0]
+    kf_disp = jnp.linalg.norm(pos_new - state.last_kf_pos)
+    push = enough & (kf_disp >= 0.5)
+    slot_kf = state.kf_ptr % K
+    # store the best-matched observations (matched first, by match order)
+    m_order = jnp.argsort(~matched)[:KF_OBS]
+    kf_pos = jnp.where(push, state.kf_pos.at[slot_kf].set(pos_new),
+                       state.kf_pos)
+    kf_quat = jnp.where(push, state.kf_quat.at[slot_kf].set(q_new),
+                        state.kf_quat)
+    kf_valid = jnp.where(push, state.kf_valid.at[slot_kf].set(True),
+                         state.kf_valid)
+    kf_obs_slot = jnp.where(
+        push, state.kf_obs_slot.at[slot_kf].set(m_idx[m_order]),
+        state.kf_obs_slot)
+    kf_obs_uv = jnp.where(
+        push, state.kf_obs_uv.at[slot_kf].set(obs.uv[m_order]),
+        state.kf_obs_uv)
+    kf_obs_z = jnp.where(
+        push, state.kf_obs_z.at[slot_kf].set(obs.p3d_cam[m_order, 2]),
+        state.kf_obs_z)
+    kf_obs_valid = jnp.where(
+        push, state.kf_obs_valid.at[slot_kf].set(matched[m_order]),
+        state.kf_obs_valid)
+
     new_state = VioState(
         pos=pos_new, vel=vel_new, q=q_new,
         map_xyz=map_xyz, map_desc=map_desc, map_valid=map_valid,
         map_age=age,
         next_slot=(state.next_slot + n_ins.astype(jnp.int32)) % MAP_CAP,
         lost=lost, n_tracked=n_match.astype(jnp.int32),
-        frames=state.frames + 1)
+        frames=state.frames + 1,
+        kf_pos=kf_pos, kf_quat=kf_quat, kf_valid=kf_valid,
+        kf_ptr=state.kf_ptr + jnp.where(push, 1, 0),
+        kf_obs_slot=kf_obs_slot, kf_obs_uv=kf_obs_uv, kf_obs_z=kf_obs_z,
+        kf_obs_valid=kf_obs_valid,
+        last_kf_pos=jnp.where(push, pos_new, state.last_kf_pos))
     return new_state, ~lost
 
 
@@ -234,3 +287,75 @@ def emit_slam_pose(state: VioState, cam: CameraConfig):
     T_slam = jnp.linalg.inv(T_FLU_FROM_CAM) @ T_nav @ T_FLU_FROM_CAM
     from nclt_slam_tpu.core.quat import mat_to_quat
     return T_slam[:3, 3], mat_to_quat(T_slam[:3, :3])
+
+
+def local_ba(state: VioState, cam: CameraConfig, cfg: VioConfig) -> VioState:
+    """Sliding-window local BA over the keyframe ring (ORB-SLAM3's
+    local-mapping BA, run at a uniform cadence from the rollout).
+
+    The window's landmark set is the newest keyframe's observed map slots;
+    observation weights for older keyframes come from slot-id matching, so
+    all shapes stay fixed.  Optimized poses update the keyframe ring and
+    the current pose (by the newest keyframe's correction); optimized
+    points write back to the map.
+    """
+    from nclt_slam_tpu.vio.ba import BAProblem, solve_ba
+
+    K = state.kf_pos.shape[0]
+    newest = (state.kf_ptr - 1) % K
+    slots = state.kf_obs_slot[newest]                      # (P,) P = KF_OBS
+    pts0 = state.map_xyz[slots]
+
+    # (K, P) observation weights by slot-id equality against each KF's obs
+    eq = state.kf_obs_slot[:, :, None] == slots[None, None, :]  # (K, S, P)
+    pair_ok = eq & state.kf_obs_valid[:, :, None]
+    obs_w = (pair_ok.any(1) & state.kf_valid[:, None]).astype(jnp.float32)
+    src = jnp.argmax(pair_ok, axis=1)                      # (K, P) obs index
+    obs_uv = jnp.take_along_axis(
+        state.kf_obs_uv, src[..., None], axis=1)
+    obs_z = jnp.take_along_axis(state.kf_obs_z, src, axis=1)
+
+    # order the ring chronologically (oldest..newest) for the rel factors
+    order = (state.kf_ptr + jnp.arange(K)) % K
+    kf_pos = state.kf_pos[order]
+    kf_quat = state.kf_quat[order]
+    kf_ok = state.kf_valid[order]
+    obs_w = obs_w[order] * kf_ok[:, None]
+    obs_uv = obs_uv[order]
+    obs_z = obs_z[order]
+
+    # relative factors from the current estimates (regularizer holding the
+    # window shape while reprojection refines it)
+    dq = jax.vmap(lambda qi, qj: quat_mul(quat_conj(qi), qj))(
+        kf_quat[:-1], kf_quat[1:])
+    dp = jax.vmap(lambda qi, pi, pj: quat_to_mat(qi).T @ (pj - pi))(
+        kf_quat[:-1], kf_pos[:-1], kf_pos[1:])
+
+    prob = BAProblem(
+        kf_pos=kf_pos, kf_quat=kf_quat, points=pts0,
+        obs_uv=obs_uv, obs_z=obs_z, obs_w=obs_w,
+        rel_dp=dp, rel_dq=dq, w_rel=jnp.float32(10.0))
+    res = solve_ba(prob, cam, cfg, iters=3)
+
+    enough = (obs_w.sum() >= 12) & (state.kf_valid.sum() >= 3)
+
+    # write back: keyframes (undo the chronological reorder)
+    inv = jnp.argsort(order)
+    new_kf_pos = jnp.where(enough, res.kf_pos[inv], state.kf_pos)
+    new_kf_quat = jnp.where(enough, res.kf_quat[inv], state.kf_quat)
+
+    # current pose correction = newest KF delta, left-composed
+    d_pos = res.kf_pos[-1] - kf_pos[-1]
+    dq_new = quat_mul(res.kf_quat[-1], quat_conj(kf_quat[-1]))
+    pos_new = jnp.where(enough, state.pos + d_pos, state.pos)
+    q_new = jnp.where(enough, quat_mul(dq_new, state.q), state.q)
+    q_new = q_new / jnp.linalg.norm(q_new)
+
+    # map write-back for window points
+    valid_pt = obs_w.sum(0) >= 2  # seen by >= 2 KFs
+    map_xyz = state.map_xyz.at[slots].set(
+        jnp.where((valid_pt & enough)[:, None], res.points,
+                  state.map_xyz[slots]))
+
+    return state._replace(pos=pos_new, q=q_new, kf_pos=new_kf_pos,
+                          kf_quat=new_kf_quat, map_xyz=map_xyz)
