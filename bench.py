@@ -27,6 +27,7 @@ def main():
     n_routes = int(os.environ.get("BENCH_ROUTES", "15"))
     n_ticks = int(os.environ.get("BENCH_TICKS", "400"))
     teach_ticks = int(os.environ.get("BENCH_TEACH_TICKS", "100"))
+    mode = os.environ.get("BENCH_MODE", "gt")  # gt | ours | encoder | rgbd
 
     from nclt_slam_tpu import config as cfg_mod
     from nclt_slam_tpu.rollout.campaign import (
@@ -37,18 +38,22 @@ def main():
     )
     from nclt_slam_tpu.scene.routes import ALL_ROUTES
 
-    cfg = cfg_mod.gt_localization()
+    from nclt_slam_tpu.cli.common import MODES
+
+    cfg = MODES[mode]()
+    cfg_teach = cfg_mod.gt_localization()
     names = ALL_ROUTES[:n_routes]
     data = build_campaign(names, cfg=cfg)
 
     # short teach to produce maps + WPs (not timed)
-    teach = run_campaign_teach(data, cfg, teach_ticks)
+    teach = run_campaign_teach(data, cfg_teach, teach_ticks)
     jax.block_until_ready(teach.teach_grid)
     wps, n_wps = teach_waypoints(data, teach, cfg)
+    stores = None if mode == "gt" else teach.store
 
     def run():
         return run_campaign_repeat(data, teach.teach_grid, wps, n_wps, cfg,
-                                   n_ticks)
+                                   n_ticks, stores=stores)
 
     # compile + warmup
     out = run()
@@ -72,7 +77,7 @@ def main():
         "unit": "steps/s",
         "vs_baseline": round(steps_per_sec / baseline, 2),
         "extra": {"ba_solves_per_sec": round(ba_rate, 1),
-                  "routes": len(names), "ticks": n_ticks,
+                  "routes": len(names), "ticks": n_ticks, "mode": mode,
                   "wall_s": round(dt, 2)},
     }))
 

@@ -25,6 +25,8 @@ def main(argv=None):
     ap.add_argument("--no-obstacles", dest="obstacles", action="store_false",
                     default=True)
     ap.add_argument("--scale", type=float, default=1.0)
+    ap.add_argument("--figures", action="store_true",
+                    help="render per-route run figures + summary heatmap")
     ap.add_argument("--platform", default=None)
     args = ap.parse_args(argv)
 
@@ -96,6 +98,36 @@ def main(argv=None):
 
     p = write_metrics(args.out, {"per_route": per_route, "aggregate": agg})
     print(f"\n(machine-readable -> {p})")
+
+    if args.figures:
+        import jax.tree_util as jtu
+
+        from nclt_slam_tpu.analysis import (
+            plot_campaign_summary,
+            plot_drift,
+            plot_route_run,
+        )
+        from pathlib import Path
+
+        figs = Path(args.out) / "figures"
+        plot_campaign_summary(per_route, figs / "campaign_summary.png")
+        for i, name in enumerate(names):
+            tr_i = jtu.tree_map(lambda x: x[i], rep.trace)
+            sc_i = jtu.tree_map(lambda x: x[i], data.scenes_repeat)
+            rt_i = jtu.tree_map(lambda x: x[i], data.routes)
+
+            class _R:  # route-view for the plotting API
+                dense_xy = rt_i.dense_xy
+                n_dense = int(rt_i.n_dense)
+                spawn = tuple(map(float, rt_i.spawn))
+                turnaround = tuple(map(float, rt_i.turnaround))
+                name = names[i]
+
+            plot_route_run(sc_i, _R, tr_i, wps[i], int(n_wps[i]),
+                           figs / f"run_{name}.png")
+            plot_drift(tr_i, figs / f"drift_{name}.png",
+                       title=f"drift — {name}")
+        print(f"[campaign] figures -> {figs}")
     return 0
 
 
