@@ -159,12 +159,23 @@ def load_teach_map(out_prefix):
     grid[img == 254] = 0
 
     res, origin = None, None
-    with open(str(out_prefix) + ".yaml") as f:
-        for line in f:
-            if line.startswith("resolution:"):
-                res = float(line.split(":")[1])
-            elif line.startswith("origin:"):
-                origin = eval(line.split(":", 1)[1].strip())
+    lines = Path(str(out_prefix) + ".yaml").read_text().splitlines()
+    i = 0
+    while i < len(lines):
+        line = lines[i]
+        if line.startswith("resolution:"):
+            res = float(line.split(":")[1])
+        elif line.startswith("origin:"):
+            rest = line.split(":", 1)[1].strip()
+            if rest.startswith("["):
+                origin = [float(v) for v in rest.strip("[]").split(",")]
+            else:
+                # block-style list (the reference's yaml.safe_dump layout)
+                origin = []
+                while i + 1 < len(lines) and lines[i + 1].lstrip().startswith("-"):
+                    i += 1
+                    origin.append(float(lines[i].lstrip()[1:].strip()))
+        i += 1
     return grid, res, origin
 
 
@@ -173,15 +184,16 @@ def load_teach_map(out_prefix):
 # ---------------------------------------------------------------------------
 
 def save_vio_pose_dense(path, ticks_s, slam_xyz_quat, gt_xy):
-    """vio_pose_dense.csv with the drift-monitor column layout
-    (ts, x, y, z, qx, qy, qz, qw, gt_x, gt_y) — the repeat WP source."""
+    """vio_pose_dense.csv with the drift-monitor's exact column layout
+    (t_wall, sim_t, vio_x, vio_y, vio_z, qx, qy, qz, qw, gt_x, gt_y) —
+    the repeat WP source."""
     Path(path).parent.mkdir(parents=True, exist_ok=True)
     with open(path, "w", newline="") as f:
         w = csv.writer(f)
-        w.writerow(["ts", "x", "y", "z", "qx", "qy", "qz", "qw",
-                    "gt_x", "gt_y"])
+        w.writerow(["t_wall", "sim_t", "vio_x", "vio_y", "vio_z",
+                    "qx", "qy", "qz", "qw", "gt_x", "gt_y"])
         for t, sp, g in zip(ticks_s, slam_xyz_quat, gt_xy):
-            w.writerow([f"{t:.3f}", *[f"{v:.6f}" for v in sp],
+            w.writerow([f"{t:.3f}", f"{t:.1f}", *[f"{v:.6f}" for v in sp],
                         f"{g[0]:.6f}", f"{g[1]:.6f}"])
     return path
 
