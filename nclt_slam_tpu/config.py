@@ -288,6 +288,7 @@ class VioConfig:
     # regime/noise parity with vio_th160.yaml calibration
     noise_acc: float = 0.275
     noise_gyro: float = 0.017
+    enable_local_ba: bool = True       # sliding-window BA in the repeat loop
 
 
 @_frozen

@@ -41,18 +41,46 @@ R_CONSISTENCY_FAIL = 4
 
 
 def _kabsch(P, Q, w):
-    """Weighted rigid alignment R,t with R @ P + t ~= Q.  P,Q (N,3), w (N,)."""
+    """Weighted rigid alignment R,t with R @ P + t ~= Q.  P,Q (N,3), w (N,).
+
+    Horn's quaternion method with power iteration instead of SVD: XLA lowers
+    tiny SVDs to an iterative decomposition that is catastrophically slow on
+    TPU when vmapped x1000 (RANSAC hypotheses); the 4x4 eigenvector via a
+    fixed-count power iteration is pure fused arithmetic."""
+    from nclt_slam_tpu.core.quat import quat_to_mat
+
     wsum = jnp.maximum(w.sum(), 1e-6)
     mp = (P * w[:, None]).sum(0) / wsum
     mq = (Q * w[:, None]).sum(0) / wsum
-    Pc = (P - mp) * w[:, None]
-    Qc = Q - mq
-    H = Pc.T @ Qc
-    U, S, Vt = jnp.linalg.svd(H)
-    d = jnp.sign(jnp.linalg.det(Vt.T @ U.T))
-    D = jnp.diag(jnp.array([1.0, 1.0, 1.0]) * jnp.array([1.0, 1.0, 0.0])
-                 + jnp.array([0.0, 0.0, 1.0]) * d)
-    R = Vt.T @ D @ U.T
+    H = ((P - mp) * w[:, None]).T @ (Q - mq)    # (3, 3) correlation
+
+    # Horn's N matrix (quaternion order w, x, y, z)
+    sxx, sxy, sxz = H[0, 0], H[0, 1], H[0, 2]
+    syx, syy, syz = H[1, 0], H[1, 1], H[1, 2]
+    szx, szy, szz = H[2, 0], H[2, 1], H[2, 2]
+    N = jnp.array([
+        [sxx + syy + szz, syz - szy, szx - sxz, sxy - syx],
+        [syz - szy, sxx - syy - szz, sxy + syx, szx + sxz],
+        [szx - sxz, sxy + syx, -sxx + syy - szz, syz + szy],
+        [sxy - syx, szx + sxz, syz + szy, -sxx - syy + szz],
+    ])
+    # shift so the (possibly negative-spectrum) max eigenvalue dominates
+    shift = 2.0 * jnp.sqrt((H * H).sum()) + 1e-6
+    N = N + shift * jnp.eye(4)
+
+    # power iteration from all 4 basis starts (a single start can be nearly
+    # orthogonal to the dominant eigenvector, e.g. ~180° rotations); pick
+    # the result with the largest Rayleigh quotient
+    def it(V, _):
+        V = N @ V
+        return V / (jnp.linalg.norm(V, axis=0, keepdims=True) + 1e-12), None
+
+    V0 = jnp.eye(4) + 0.05
+    V, _ = jax.lax.scan(it, V0, None, length=24)
+    rayleigh = jnp.einsum("ik,ij,jk->k", V, N, V)
+    v = V[:, jnp.argmax(rayleigh)]
+    q_xyzw = jnp.array([v[1], v[2], v[3], v[0]])
+    R = quat_to_mat(q_xyzw)
     t = mq - R @ mp
     return R, t
 

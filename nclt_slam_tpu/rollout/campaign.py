@@ -64,6 +64,18 @@ def build_campaign(route_names=None, seed: int = 7, cfg: Config | None = None,
                         routes=packed_routes, names=tuple(names))
 
 
+_JIT_CACHE: dict = {}
+
+
+def _cached_jit(key, make):
+    """jit-closure cache: run_campaign_* may be called repeatedly (bench
+    warmup+timed run, multi-phase campaigns); creating a fresh jax.jit each
+    call would recompile the whole chunk program every time."""
+    if key not in _JIT_CACHE:
+        _JIT_CACHE[key] = make()
+    return _JIT_CACHE[key]
+
+
 def _concat_traces(chunks, n_ticks):
     # trim the final chunk's overshoot so traces are exactly n_ticks long
     return jax.tree_util.tree_map(
@@ -78,10 +90,10 @@ def run_campaign_teach(data: CampaignData, cfg: Config, n_ticks: int,
     programs (tens of minutes) can trip device/runtime watchdogs, and
     chunking gives free progress reporting + checkpointability."""
     chunk = min(chunk, n_ticks)
-    f = jax.jit(jax.vmap(
+    f = _cached_jit(("teach", cfg, chunk), lambda: jax.jit(jax.vmap(
         lambda sc, rt, c, t0: run_teach(sc, rt, cfg, chunk, carry=c,
                                         tick0=t0),
-        in_axes=(0, 0, 0, None)))
+        in_axes=(0, 0, 0, None))))
     carry = jax.vmap(lambda rt: init_teach_carry(rt, cfg))(data.routes)
     traces = []
     res = None
@@ -123,10 +135,10 @@ def run_campaign_repeat(data: CampaignData, teach_grids, wps, n_wps,
     if stores is None:
         stores = jax.vmap(lambda _: init_store(cfg.landmarks))(
             jnp.arange(wps.shape[0]))
-    f = jax.jit(jax.vmap(
+    f = _cached_jit(("repeat", cfg, chunk), lambda: jax.jit(jax.vmap(
         lambda sc, rt, tg, wp, nw, st, c, t0: run_repeat(
             sc, rt, tg, wp, nw, cfg, chunk, store=st, carry=c, tick0=t0),
-        in_axes=(0, 0, 0, 0, 0, 0, 0, None)))
+        in_axes=(0, 0, 0, 0, 0, 0, 0, None))))
     carry = jax.vmap(lambda rt, wp, nw: init_repeat_carry(rt, wp, nw, cfg))(
         data.routes, wps, n_wps)
     traces = []

@@ -141,11 +141,12 @@ def repeat_step(carry: RepeatCarry, tick, scene: PackedScene,
                 cfg.sim.nav_decimation / cfg.sim.physics_hz, GRAVITY,
                 cfg.camera, cfg.vio, mode.use_imu)
             # local sliding-window BA at 1 Hz (ORB-SLAM3 local mapping)
-            from nclt_slam_tpu.vio.tracker import local_ba
-            vio = jax.lax.cond(
-                tick % 10 == 3,
-                lambda v: local_ba(v, cfg.camera, cfg.vio),
-                lambda v: v, vio)
+            if cfg.vio.enable_local_ba:
+                from nclt_slam_tpu.vio.tracker import local_ba
+                vio = jax.lax.cond(
+                    tick % 10 == 3,
+                    lambda v: local_ba(v, cfg.camera, cfg.vio),
+                    lambda v: v, vio)
             slam_t, slam_q = emit_slam_pose(vio, cfg.camera)
         else:
             vio = carry.vio
