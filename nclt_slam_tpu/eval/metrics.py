@@ -88,6 +88,10 @@ def route_metrics(gt_xy: np.ndarray, nav_xy: np.ndarray, teach_wps: np.ndarray,
                   spawn_xy, turnaround_xy, wp_tol=3.0, endpoint_tol=10.0,
                   drift_period=100) -> dict:
     """Full scan_run equivalent on in-memory traces."""
+    # a NaN'd rollout counts as a hard failure, not NaN-poisoned averages
+    finite = np.isfinite(gt_xy).all(-1) & np.isfinite(nav_xy).all(-1)
+    gt_xy = gt_xy[finite]
+    nav_xy = nav_xy[finite]
     path_m = float(np.hypot(*np.diff(gt_xy, axis=0).T).sum()) if len(gt_xy) > 1 else 0.0
     v, t, _ = wp_coverage(gt_xy, teach_wps, turnaround_xy, wp_tol)
     final_d, return_d, rf, rs = endpoint_metrics(gt_xy, spawn_xy, turnaround_xy,
@@ -108,8 +112,10 @@ def route_metrics(gt_xy: np.ndarray, nav_xy: np.ndarray, teach_wps: np.ndarray,
 def aggregate_metrics(per_route: dict[str, dict]) -> dict:
     """Campaign aggregate (the reference's bottom table)."""
     rows = list(per_route.values())
-    covs = [r["cov_pct"] for r in rows if r["cov_pct"] is not None]
-    drifts = [r["drift_mean"] for r in rows if r["drift_mean"] is not None]
+    covs = [r["cov_pct"] for r in rows
+            if r["cov_pct"] is not None and np.isfinite(r["cov_pct"])]
+    drifts = [r["drift_mean"] for r in rows
+              if r["drift_mean"] is not None and np.isfinite(r["drift_mean"])]
     return {
         "routes": len(rows),
         "reach": sum(1 for r in rows if r["reached_final"]),
@@ -118,8 +124,9 @@ def aggregate_metrics(per_route: dict[str, dict]) -> dict:
                             if r["reached_final"] and r["returned_spawn"]),
         "avg_coverage_pct": float(np.mean(covs)) if covs else None,
         "avg_drift_mean": float(np.mean(drifts)) if drifts else None,
-        "avg_final_d": float(np.mean([r["final_d"] for r in rows
-                                      if r["final_d"] is not None])),
+        "avg_final_d": float(np.mean(
+            [r["final_d"] for r in rows
+             if r["final_d"] is not None and np.isfinite(r["final_d"])])),
     }
 
 

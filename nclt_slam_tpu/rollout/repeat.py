@@ -148,6 +148,8 @@ def repeat_step(carry: RepeatCarry, tick, scene: PackedScene,
                     lambda v: local_ba(v, cfg.camera, cfg.vio),
                     lambda v: v, vio)
             slam_t, slam_q = emit_slam_pose(vio, cfg.camera)
+            slam_ok = slam_ok & jnp.isfinite(slam_t).all() & \
+                jnp.isfinite(slam_q).all()
         else:
             vio = carry.vio
             slam_ok = jnp.array(False)

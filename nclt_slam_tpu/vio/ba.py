@@ -202,7 +202,8 @@ def solve_ba(prob: BAProblem, cam: CameraConfig, cfg: VioConfig,
 
         S = H - S_corr + damping * jnp.eye(6 * K)
         rhs = -(g - g_corr)
-        delta_p = jnp.linalg.solve(S, rhs)
+        delta_p = jnp.nan_to_num(jnp.linalg.solve(S, rhs),
+                                 nan=0.0, posinf=0.0, neginf=0.0)
 
         # back-substitute landmarks: Δl_p = -A_p^-1 (g_l_p + B_p^T Δp)
         Bt_dp = jnp.einsum("pai,a->pi", B, delta_p)             # (P, 3)

@@ -145,6 +145,11 @@ def _pose_gn(pos0, q0, X_w, uv_obs, z_obs, w_pt, cam: CameraConfig,
         H = jnp.einsum("mri,mrj->ij", Jw, J) + cfg.lm_damping * jnp.eye(6)
         g = jnp.einsum("mri,mr->i", Jw, r)
         delta = -jnp.linalg.solve(H, g)
+        # trust region + NaN guard: a degenerate window must not poison the
+        # state (maps to tracking-lost, the reference's crashed-SLAM case)
+        delta = jnp.nan_to_num(delta, nan=0.0, posinf=0.0, neginf=0.0)
+        nrm = jnp.linalg.norm(delta)
+        delta = delta * jnp.minimum(1.0, 1.0 / (nrm + 1e-9))
         dq = so3_exp(delta[:3])
         return (pos + delta[3:], quat_mul(q, dq)), None
 
@@ -179,7 +184,8 @@ def vio_frame(state: VioState, obs: Observation, imu_block_meas, dt_frame,
     # ---- motion-only GN (only meaningful with enough matches) ----
     pos_opt, q_opt = _pose_gn(pos_pred, q_pred, X, obs.uv, obs.p3d_cam[:, 2],
                               w_pt, cam, cfg)
-    enough = n_match >= 8
+    finite = jnp.isfinite(pos_opt).all() & jnp.isfinite(q_opt).all()
+    enough = (n_match >= 8) & finite
     # When tracking is lost, FREEZE the emitted state instead of
     # dead-reckoning on noisy IMU (which diverges quadratically) — this is
     # ORB-SLAM3's observable behavior at the /tmp/slam_pose.txt interface
@@ -337,7 +343,9 @@ def local_ba(state: VioState, cam: CameraConfig, cfg: VioConfig) -> VioState:
         rel_dp=dp, rel_dq=dq, w_rel=jnp.float32(10.0))
     res = solve_ba(prob, cam, cfg, iters=3)
 
-    enough = (obs_w.sum() >= 12) & (state.kf_valid.sum() >= 3)
+    finite = (jnp.isfinite(res.kf_pos).all() & jnp.isfinite(res.kf_quat).all()
+              & jnp.isfinite(res.points).all())
+    enough = (obs_w.sum() >= 12) & (state.kf_valid.sum() >= 3) & finite
 
     # write back: keyframes (undo the chronological reorder)
     inv = jnp.argsort(order)
