@@ -330,3 +330,67 @@ def test_euroc_roundtrip(tmp_path):
     assert np.allclose(t2, t, atol=1e-6)
     assert np.allclose(xyz2, xyz, atol=1e-5)
     assert np.allclose(np.abs((q2 * q).sum(-1)), 1.0, atol=1e-5)
+
+
+def test_icp_odometry_pipeline():
+    """Scan-to-local-map ICP odometry recovers a driven trajectory in a
+    structured synthetic world (the run_week2_icp capability)."""
+    from nclt_slam_tpu.datasets.slam.pipeline import run_icp_odometry
+
+    rng = np.random.RandomState(11)
+    # world: 60 pillars around a 12 m square path
+    pillars = rng.uniform(-20, 20, (60, 2))
+    world = []
+    for px, py in pillars:
+        n = 12
+        ang = rng.uniform(0, 2 * np.pi, n)
+        world.append(np.column_stack([
+            px + 0.3 * np.cos(ang), py + 0.3 * np.sin(ang),
+            rng.uniform(0, 3, n)]))
+    world = np.concatenate(world)
+
+    # GT: drive a square, scanning at each step
+    T_n, N = 16, 256
+    gt = []
+    x, y, th = 0.0, 0.0, 0.0
+    for t in range(T_n):
+        gt.append((x, y, th))
+        if t % 4 == 3:
+            th += np.pi / 2
+        else:
+            x += 3 * np.cos(th)
+            y += 3 * np.sin(th)
+    gt = np.asarray(gt)
+
+    scans = np.zeros((T_n, N, 3), np.float32)
+    valid = np.zeros((T_n, N), bool)
+    for t, (x, y, th) in enumerate(gt):
+        rel = world - np.array([x, y, 0.0])
+        d = np.hypot(rel[:, 0], rel[:, 1])
+        near = np.argsort(d)[:N]
+        c, s = np.cos(-th), np.sin(-th)
+        pts = rel[near]
+        scans[t, :, 0] = c * pts[:, 0] - s * pts[:, 1]
+        scans[t, :, 1] = s * pts[:, 0] + c * pts[:, 1]
+        scans[t, :, 2] = pts[:, 2]
+        valid[t] = d[near] < 25.0
+        scans[t] += rng.normal(0, 0.01, (N, 3))
+
+    # odometry prediction: the exact relative motion (like wheel odom)
+    odom = np.zeros((T_n, 4, 4), np.float32)
+    odom[0] = np.eye(4)
+    for t in range(1, T_n):
+        ci, si = np.cos(gt[t - 1, 2]), np.sin(gt[t - 1, 2])
+        Ri = np.array([[ci, -si], [si, ci]])
+        dxy = Ri.T @ (gt[t, :2] - gt[t - 1, :2])
+        dth = gt[t, 2] - gt[t - 1, 2]
+        odom[t] = np.eye(4)
+        odom[t][:2, :2] = [[np.cos(dth), -np.sin(dth)],
+                           [np.sin(dth), np.cos(dth)]]
+        odom[t][:2, 3] = dxy
+
+    poses, rmses = run_icp_odometry(scans, valid, odom, local_map_scans=8)
+    est_xy = poses[:, :2, 3]
+    err = np.hypot(*(est_xy - gt[:, :2]).T)
+    assert err.max() < 0.5, err
+    assert np.asarray(rmses)[1:].max() < 0.2
