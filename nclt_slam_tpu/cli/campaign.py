@@ -27,6 +27,13 @@ def main(argv=None):
     ap.add_argument("--scale", type=float, default=1.0)
     ap.add_argument("--figures", action="store_true",
                     help="render per-route run figures + summary heatmap")
+    ap.add_argument("--route-slice", default=None,
+                    help="A:B batch slice for the repeat phase (sub-batch "
+                         "fallback when the full-width program is unstable)")
+    ap.add_argument("--phase", default="both",
+                    choices=["both", "teach", "repeat"],
+                    help="run one phase and checkpoint (worker-crash "
+                         "resilience: phases retry as separate processes)")
     ap.add_argument("--platform", default=None)
     args = ap.parse_args(argv)
 
@@ -37,6 +44,7 @@ def main(argv=None):
 
     from nclt_slam_tpu.cli.common import config_for, write_metrics
     from nclt_slam_tpu.rollout.campaign import (
+        CampaignData,
         build_campaign,
         campaign_metrics,
         run_campaign_repeat,
@@ -58,11 +66,48 @@ def main(argv=None):
                   f"{n_done}/{len(names)} routes complete", flush=True)
         return f
 
-    teach = run_campaign_teach(data, cfg_teach, args.teach_ticks,
-                               progress=prog("teach"))
-    wps, n_wps = teach_waypoints(data, teach, cfg)
-    stores = None if args.mode == "gt" else teach.store
-    rep = run_campaign_repeat(data, teach.teach_grid, wps, n_wps, cfg,
+    from pathlib import Path
+
+    from nclt_slam_tpu.io.artifacts import load_checkpoint, save_checkpoint
+
+    ckpt = Path(args.out) / "teach_state.ckpt"
+    if args.phase in ("both", "teach"):
+        teach = run_campaign_teach(data, cfg_teach, args.teach_ticks,
+                                   progress=prog("teach"))
+        wps, n_wps = teach_waypoints(data, teach, cfg)
+        save_checkpoint(
+            {"grid": teach.teach_grid, "store": teach.store,
+             "wps": wps, "n_wps": n_wps}, ckpt)
+        print(f"[campaign] teach checkpoint -> {ckpt}", flush=True)
+        if args.phase == "teach":
+            return 0
+        teach_grid, stores = teach.teach_grid, teach.store
+    else:
+        blob = load_checkpoint(ckpt)
+        teach_grid, stores = blob["grid"], blob["store"]
+        wps, n_wps = blob["wps"], blob["n_wps"]
+        print(f"[campaign] teach checkpoint loaded <- {ckpt}", flush=True)
+
+    if args.mode == "gt":
+        stores = None
+    if args.route_slice:
+        import jax.tree_util as jtu
+
+        a, b = (int(v) if v else None for v in args.route_slice.split(":"))
+        sl = slice(a, b)
+        data = CampaignData(
+            scenes_teach=jtu.tree_map(lambda x: x[sl], data.scenes_teach),
+            scenes_repeat=jtu.tree_map(lambda x: x[sl], data.scenes_repeat),
+            routes=jtu.tree_map(lambda x: x[sl], data.routes),
+            names=data.names[sl])
+        teach_grid = teach_grid[sl]
+        wps, n_wps = wps[sl], n_wps[sl]
+        if stores is not None:
+            stores = jtu.tree_map(lambda x: x[sl], stores)
+        names = list(data.names)
+        print(f"[campaign] repeat slice {args.route_slice}: {names}",
+              flush=True)
+    rep = run_campaign_repeat(data, teach_grid, wps, n_wps, cfg,
                               args.repeat_ticks, stores=stores,
                               progress=prog("repeat"))
 
