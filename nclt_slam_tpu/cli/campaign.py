@@ -18,7 +18,7 @@ def main(argv=None):
     ap.add_argument("--routes", default="all",
                     help="'all' or comma-separated route names")
     ap.add_argument("--mode", default="ours",
-                    choices=["ours", "gt", "encoder", "rgbd"])
+                    choices=["ours", "gt", "encoder", "rgbd", "stock"])
     ap.add_argument("--out", required=True)
     ap.add_argument("--teach-ticks", type=int, default=9000)
     ap.add_argument("--repeat-ticks", type=int, default=12000)

@@ -15,11 +15,14 @@ from nclt_slam_tpu.io.artifacts import (
     save_vio_pose_dense,
 )
 
+from nclt_slam_tpu.baselines import stock_nav2
+
 MODES = {
     "ours": cfg_mod.ours,
     "gt": cfg_mod.gt_localization,
     "encoder": cfg_mod.encoder_only,
     "rgbd": cfg_mod.rgbd_no_imu,
+    "stock": stock_nav2,
 }
 
 

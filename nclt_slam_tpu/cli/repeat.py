@@ -20,7 +20,7 @@ def main(argv=None):
     ap.add_argument("--teach-dir", required=True)
     ap.add_argument("--out", required=True)
     ap.add_argument("--mode", default="ours",
-                    choices=["ours", "gt", "encoder", "rgbd"])
+                    choices=["ours", "gt", "encoder", "rgbd", "stock"])
     ap.add_argument("--obstacles", action="store_true", default=True)
     ap.add_argument("--no-obstacles", dest="obstacles", action="store_false")
     ap.add_argument("--ticks", type=int, default=12000)

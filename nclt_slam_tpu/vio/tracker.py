@@ -91,18 +91,6 @@ def init_vio(desc_words: int, window_kf: int = 10) -> VioState:
     )
 
 
-def _cam_from_world(pos, q, cam: CameraConfig):
-    """World point -> OpenCV camera frame for body pose (pos, q)."""
-    R_wb = quat_to_mat(q)
-    t_bc = jnp.array([cam.cam_offset_fwd, 0.0, cam.cam_offset_up])
-
-    def f(X):
-        p_base = R_wb.T @ (X - pos) - t_bc
-        return R_BASE_CAM.T @ p_base
-
-    return f
-
-
 def _project(p_cam, cam: CameraConfig):
     z = jnp.maximum(p_cam[..., 2], 0.1)
     return jnp.stack([cam.fx * p_cam[..., 0] / z + cam.cx,
