@@ -76,6 +76,10 @@ class EncoderConfig:
 
     dist_noise: float = 0.005          # 0.5 % distance noise
     compass_noise: float = 0.05        # rad white noise on yaw
+    # rate-gyro compass drift (rad/s bias random-walk applied to the heading
+    # source).  0 = the reference's absolute-compass model; > 0 degrades the
+    # encoder fallback so localization ablations separate more sharply.
+    compass_drift: float = 0.0
 
 
 @_frozen

@@ -71,6 +71,8 @@ class FusionState(NamedTuple):
     # jump rejection
     prev_nav: jax.Array        # (3,) x, y, yaw
     have_prev_nav: jax.Array   # bool
+    # degraded-compass drift accumulator (0 with the absolute-compass model)
+    compass_bias: jax.Array    # ()
 
 
 def init_fusion(cfg: FusionConfig) -> FusionState:
@@ -87,6 +89,7 @@ def init_fusion(cfg: FusionConfig) -> FusionState:
         anchor_tick=jnp.int32(-10 ** 6), has_anchor=jnp.array(False),
         strong_streak=jnp.int32(0),
         prev_nav=jnp.zeros(3), have_prev_nav=jnp.array(False),
+        compass_bias=jnp.float32(0.0),
     )
 
 
@@ -206,11 +209,15 @@ def fusion_tick(state: FusionState, gt_x, gt_y, gt_yaw, slam_t, slam_quat,
                 slam_ok, tick, key, enc_cfg: EncoderConfig,
                 cfg: FusionConfig):
     """One relay tick.  Returns (state, nav_x, nav_y, nav_yaw, regime)."""
-    k1, k2 = jax.random.split(key)
+    k1, k2, k3 = jax.random.split(key, 3)
 
     # ---- encoder+compass dead-reckoning (always running fallback) ----
     first = ~state.initialized
-    noisy_yaw = gt_yaw + enc_cfg.compass_noise * jax.random.normal(k1)
+    # optional rate-gyro degradation: heading bias random-walks over time
+    compass_bias = state.compass_bias + enc_cfg.compass_drift * 0.1 * \
+        jax.random.normal(k3)
+    noisy_yaw = gt_yaw + compass_bias + \
+        enc_cfg.compass_noise * jax.random.normal(k1)
     d = jnp.array([gt_x, gt_y]) - state.prev_gt_xy
     displacement = jnp.linalg.norm(d)
     # real encoders read SIGNED wheel rotation: project the displacement on
@@ -230,7 +237,8 @@ def fusion_tick(state: FusionState, gt_x, gt_y, gt_yaw, slam_t, slam_quat,
 
     state = state._replace(
         enc_xy=enc_xy, enc_yaw=enc_yaw, enc_total_dist=enc_total,
-        prev_gt_xy=jnp.array([gt_x, gt_y]), initialized=jnp.array(True))
+        prev_gt_xy=jnp.array([gt_x, gt_y]), initialized=jnp.array(True),
+        compass_bias=compass_bias)
 
     # ---- freeze detection (camera xz plane, v55:512-526) ----
     slam_xz = jnp.array([slam_t[0], slam_t[2]])

@@ -148,3 +148,37 @@ def test_encoder_drift_is_bounded():
     assert (out[:, 3] == REGIME_ENCODER).all()
     err = np.hypot(out[-1, 0] - xs[-1], out[-1, 1] - ys[-1])
     assert err < 10.0  # 10 % of 100 m worst case
+
+
+def test_degraded_compass_drifts():
+    """compass_drift > 0 random-walks the heading source: encoder-only
+    localization degrades with distance (the round-2 ablation knob)."""
+    import dataclasses
+
+    enc_bad = dataclasses.replace(CFG.encoder, compass_drift=0.02)
+    tick_bad = jax.jit(lambda st, gx, gy, gyaw, t, q, ok, tk, k: fusion_tick(
+        st, gx, gy, gyaw, t, q, ok, tk, k, enc_bad, CFG.fusion))
+    st = init_fusion(CFG.fusion)
+    key = jax.random.PRNGKey(9)
+    n = 1500
+    err_end = None
+    for i in range(n):
+        x = 0.1 * i
+        t, q = slam_pose_for(x, 0.0, 0.0)
+        key, k = jax.random.split(key)
+        st, nx, ny, nyaw, reg = tick_bad(
+            st, jnp.float32(x), jnp.float32(0.0), jnp.float32(0.0), t, q,
+            jnp.array(False), jnp.int32(i), k)
+    err_bad = np.hypot(float(nx) - 0.1 * (n - 1), float(ny))
+    # the good (absolute-compass) encoder on the same drive
+    st2 = init_fusion(CFG.fusion)
+    key = jax.random.PRNGKey(9)
+    for i in range(n):
+        x = 0.1 * i
+        t, q = slam_pose_for(x, 0.0, 0.0)
+        key, k = jax.random.split(key)
+        st2, nx2, ny2, _, _ = _tick(
+            st2, jnp.float32(x), jnp.float32(0.0), jnp.float32(0.0), t, q,
+            jnp.array(False), jnp.int32(i), k)
+    err_good = np.hypot(float(nx2) - 0.1 * (n - 1), float(ny2))
+    assert err_bad > 3 * err_good + 1.0, (err_bad, err_good)
