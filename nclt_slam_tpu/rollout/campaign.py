@@ -85,10 +85,11 @@ def _concat_traces(chunks, n_ticks):
 
 
 def run_campaign_teach(data: CampaignData, cfg: Config, n_ticks: int,
-                       chunk: int = 500, progress=None) -> TeachResult:
-    """Batched teach, chunked at the host level: very long single XLA
-    programs (tens of minutes) can trip device/runtime watchdogs, and
-    chunking gives free progress reporting + checkpointability."""
+                       chunk: int = 250, progress=None) -> TeachResult:
+    """Batched teach, chunked at the host level: the TPU worker kills
+    single executions longer than ~60 s (measured: a 15-route ours-mode
+    chunk runs ~123 ms/tick, so 500-tick chunks died while <=250 is safe),
+    and chunking gives free progress reporting + checkpointability."""
     chunk = min(chunk, n_ticks)
     f = _cached_jit(("teach", cfg, chunk), lambda: jax.jit(jax.vmap(
         lambda sc, rt, c, t0: run_teach(sc, rt, cfg, chunk, carry=c,
@@ -129,7 +130,7 @@ def teach_waypoints(data: CampaignData, teach: TeachResult, cfg: Config):
 
 def run_campaign_repeat(data: CampaignData, teach_grids, wps, n_wps,
                         cfg: Config, n_ticks: int, stores=None,
-                        chunk: int = 500, progress=None) -> RepeatResult:
+                        chunk: int = 250, progress=None) -> RepeatResult:
     """Batched repeat, chunked like run_campaign_teach."""
     chunk = min(chunk, n_ticks)
     if stores is None:
