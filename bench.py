@@ -27,7 +27,9 @@ def main():
     n_routes = int(os.environ.get("BENCH_ROUTES", "15"))
     n_ticks = int(os.environ.get("BENCH_TICKS", "400"))
     teach_ticks = int(os.environ.get("BENCH_TEACH_TICKS", "100"))
-    mode = os.environ.get("BENCH_MODE", "gt")  # gt | ours | encoder | rgbd
+    # the recorded headline measures the FULL flagship stack (VIO + anchors
+    # + v55 fusion); gt/encoder/rgbd modes remain selectable for comparison
+    mode = os.environ.get("BENCH_MODE", "ours")  # ours | gt | encoder | rgbd
 
     from nclt_slam_tpu import config as cfg_mod
     from nclt_slam_tpu.rollout.campaign import (

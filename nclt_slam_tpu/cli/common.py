@@ -53,8 +53,16 @@ def write_teach_artifacts(out_dir, teach, route, cfg):
     save_teach_map(np.asarray(teach.teach_grid), out / "teach_map", cfg.map)
     save_landmarks_pkl(teach.store, out / "landmarks.pkl", cfg.camera,
                        cfg.landmarks)
-    # teach ran with GT localization, so slam == gt here (like --use-gt)
-    slam = np.column_stack([gt[live], np.zeros(live.sum()),
+    # vio_pose_dense carries the teach VIO track aligned to GT (what the
+    # reference drift monitor writes); with run_vio off it degenerates to
+    # GT, like the --use-gt relay
+    if cfg.teach.run_vio:
+        from nclt_slam_tpu.eval.metrics import procrustes_align_2d
+        vio = np.asarray(teach.trace.vio_xy)
+        pose_xy = procrustes_align_2d(vio[live], gt[live])
+    else:
+        pose_xy = gt[live]
+    slam = np.column_stack([pose_xy, np.zeros(live.sum()),
                             np.zeros((live.sum(), 2)),
                             np.sin(yaw[live] / 2), np.cos(yaw[live] / 2)])
     save_vio_pose_dense(out / "vio_pose_dense.csv", ts[live], slam, gt[live])

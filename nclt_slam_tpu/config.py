@@ -265,6 +265,13 @@ class TeachConfig:
     drift_abort_m: float = 10.0        # vio_drift_monitor gate
     drift_settling_s: float = 60.0
     dense_wp_ds: float = 0.8
+    # live VIO + drift monitor during teach (vio_drift_monitor.py:88-129):
+    # the reference always runs ORB-SLAM3 alongside the GT relay in teach and
+    # aborts online when the Procrustes drift_max exceeds drift_abort_m.
+    run_vio: bool = True
+    drift_buf_cap: int = 512           # (vio, gt) sample ring (windowed)
+    drift_sample_period: int = 2       # sample every 2 nav ticks (5 Hz)
+    drift_check_period: int = 100      # Procrustes check every 10 s
 
 
 @_frozen
@@ -293,6 +300,16 @@ class VioConfig:
     noise_acc: float = 0.275
     noise_gyro: float = 0.017
     enable_local_ba: bool = True       # sliding-window BA in the repeat loop
+    # motion-model plausibility gate: reject a frame's optimized pose when it
+    # jumps further than this from the inertial/constant-velocity prediction
+    # (ORB-SLAM3 discards such frames as tracking failures rather than
+    # publishing them; prevents transient GN divergence during fast yaw)
+    max_frame_jump_m: float = 1.0
+    # projection-guided matching (ORB-SLAM3 SearchByProjection): a map point
+    # only counts as matched when the live feature lies within this pixel
+    # radius of the point's projection under the predicted pose — false
+    # (descriptor-aliased) matches can then never support a divergent pose
+    proj_gate_px: float = 80.0
 
 
 @_frozen

@@ -134,6 +134,32 @@ def aggregate_metrics(per_route: dict[str, dict]) -> dict:
 # trajectory benchmarks (ATE / RPE / Procrustes drift)
 # ---------------------------------------------------------------------------
 
+def procrustes_align_2d(vio_xy: np.ndarray, gt_xy: np.ndarray) -> np.ndarray:
+    """Align a 2-D VIO track to GT with the drift monitor's handedness-robust
+    4-flip rotation+translation Procrustes; returns the aligned track.  This
+    is the transform the reference applies when writing vio_pose_dense.csv
+    (the repeat waypoint source)."""
+    if len(vio_xy) < 2:
+        return np.asarray(gt_xy[: len(vio_xy)])
+    xg, yg = gt_xy[:, 0], gt_xy[:, 1]
+    cxg, cyg = xg.mean(), yg.mean()
+    dxg, dyg = xg - cxg, yg - cyg
+    best, best_mean = None, np.inf
+    for fx, fy in ((1, 1), (-1, 1), (1, -1), (-1, -1)):
+        xv, yv = vio_xy[:, 0] * fx, vio_xy[:, 1] * fy
+        dxv, dyv = xv - xv.mean(), yv - yv.mean()
+        a = (dxv * dxg + dyv * dyg).sum()
+        b = (dxv * dyg - dyv * dxg).sum()
+        th = np.arctan2(b, a)
+        c, s = np.cos(th), np.sin(th)
+        rx = c * dxv - s * dyv + cxg
+        ry = s * dxv + c * dyv + cyg
+        err = np.hypot(rx - xg, ry - yg).mean()
+        if err < best_mean:
+            best, best_mean = np.stack([rx, ry], -1), err
+    return best
+
+
 def procrustes_drift_2d(vio_xyz: np.ndarray, gt_xy: np.ndarray):
     """Handedness-robust 2-D Procrustes VIO->GT (vio_drift_monitor port):
     picks the two highest-variance VIO axes, tries all four axis-flips,

