@@ -17,14 +17,18 @@ from nclt_slam_tpu.config import Config, LocalizationMode
 
 
 def stock_nav2() -> Config:
-    """exp 74: stock waypoint following.
+    """exp 74: genuine stock Nav2 stack, not just flag-disabling.
 
-    - encoder+SLAM localization without visual anchors (stock Nav2 had no
-      matcher process)
-    - no WP projection / detour ring / known-obstacle gate (those are the
-      thesis's hybrid dispatcher additions)
-    - no wedge / anti-spin recoveries (stock controller_server behaviors
-      differ; the reference baseline mostly stalled — README:229-242)
+    - localization: VIO+encoder fusion WITHOUT visual anchors (stock Nav2
+      had no matcher process feeding /anchor_correction)
+    - controller: RegulatedPurePursuit + BT recovery behaviors
+      (control/rpp.py — nav2_stock_params.yaml:26-81) instead of the thesis
+      follower; no proximity limiter / anti-spin / wedge recovery
+    - dispatcher: FollowWaypoints semantics (stock_follow): one-time
+      client-side WP projection (waypoint_follower_client.py:66-163), no
+      live reprojection / detour ring / known-obstacle gate / lookahead
+      skip, NO per-WP timeout (the reference baseline's stall mode —
+      routes/README.md:229-242), no final-WP policy
     """
     base = cfg_mod.ours()
     return base.replace(
@@ -32,9 +36,11 @@ def stock_nav2() -> Config:
                               use_imu=True, use_gt=False),
         planner=dataclasses.replace(
             base.planner, enable_detour=False, enable_projection=False,
-            enable_known_obstacle_gate=False),
+            enable_known_obstacle_gate=False, enable_lookahead_skip=False,
+            stock_follow=True),
         control=dataclasses.replace(
-            base.control, enable_wedge=False, enable_antispin=False),
+            base.control, enable_wedge=False, enable_antispin=False,
+            enable_prox=False, use_rpp=True),
     )
 
 

@@ -107,6 +107,9 @@ def main(argv=None):
         names = list(data.names)
         print(f"[campaign] repeat slice {args.route_slice}: {names}",
               flush=True)
+    from nclt_slam_tpu.rollout.campaign import apply_stock_projection
+
+    wps, n_wps = apply_stock_projection(teach_grid, wps, n_wps, cfg)
     rep = run_campaign_repeat(data, teach_grid, wps, n_wps, cfg,
                               args.repeat_ticks, stores=stores,
                               progress=prog("repeat"))
@@ -143,6 +146,21 @@ def main(argv=None):
 
     p = write_metrics(args.out, {"per_route": per_route, "aggregate": agg})
     print(f"\n(machine-readable -> {p})")
+
+    # structured trace archive: what cli.analyze renders the thesis-figure
+    # zoo from (the reference scrapes per-process logs instead)
+    import numpy as np
+    from pathlib import Path as _P
+
+    tr = rep.trace
+    np.savez_compressed(
+        _P(args.out) / "traces.npz",
+        gt_xy=np.asarray(tr.gt_xy), nav_xy=np.asarray(tr.nav_xy),
+        regime=np.asarray(tr.regime), anchor_ok=np.asarray(tr.anchor_ok),
+        wp_idx=np.asarray(tr.wp_idx), done=np.asarray(tr.done),
+        fired=np.asarray(tr.fired), wps=np.asarray(wps),
+        n_wps=np.asarray(n_wps), names=np.array(list(data.names)))
+    print(f"(traces -> {_P(args.out) / 'traces.npz'})")
 
     if args.figures:
         import jax.tree_util as jtu

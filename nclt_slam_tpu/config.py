@@ -68,6 +68,16 @@ class CameraConfig:
     # base_link -> camera extrinsics (visual_landmark_recorder.py:81-88)
     cam_offset_fwd: float = 0.35
     cam_offset_up: float = 0.18
+    # feature observation noise (sensors/features.observe).  px_noise ~1 px
+    # is typical ORB localization error; stereo depth error grows
+    # quadratically with range (sigma_z = z^2 * disp_err / (fx * baseline);
+    # D435i: baseline 50 mm, fx 320 at 640 px, ~0.08 px disparity RMS ->
+    # sigma_z/z ~ 0.003 * z, i.e. 0.3 m RMS at 10 m).  Round 1 used flat 1 %
+    # which made the VIO unrealistically accurate at range; the quadratic
+    # model restores the drift the reference's ORB-SLAM3 exhibits without
+    # anchors.
+    px_noise: float = 1.0
+    depth_noise_rel_per_m: float = 0.003
 
 
 @_frozen
@@ -77,9 +87,13 @@ class EncoderConfig:
     dist_noise: float = 0.005          # 0.5 % distance noise
     compass_noise: float = 0.05        # rad white noise on yaw
     # rate-gyro compass drift (rad/s bias random-walk applied to the heading
-    # source).  0 = the reference's absolute-compass model; > 0 degrades the
-    # encoder fallback so localization ablations separate more sharply.
-    compass_drift: float = 0.0
+    # source).  0 = the reference's absolute-compass model; > 0 models a
+    # gyro-integrated heading whose bias random-walks — the physically
+    # honest model for a Husky with no magnetometer, and the campaign
+    # default so localization ablations separate like the reference's
+    # (an absolute compass made encoder-only DR an unrealistically strong
+    # fallback in round 1).
+    compass_drift: float = 0.03
 
 
 @_frozen
@@ -212,6 +226,12 @@ class PlannerConfig:
     enable_detour: bool = True
     enable_projection: bool = True
     enable_known_obstacle_gate: bool = True
+    enable_lookahead_skip: bool = True
+    # stock FollowWaypoints semantics (exp 74 baseline): one-time client-side
+    # WP projection instead of live reprojection, NO per-WP timeout (stock
+    # Nav2 has none — the GT-stall watchdog ends the run), no final-WP
+    # special policy; plan failure still advances (stop_on_failure: false).
+    stock_follow: bool = False
 
 
 @_frozen
@@ -245,6 +265,34 @@ class ControlConfig:
     enable_wedge: bool = True
     enable_antispin: bool = True
     enable_prox: bool = True
+    # controller selection: False = thesis pure-pursuit stack, True = stock
+    # Nav2 RegulatedPurePursuit + BT recoveries (exp 74 baseline)
+    use_rpp: bool = False
+
+
+@_frozen
+class RppConfig:
+    """Stock Nav2 RegulatedPurePursuitController + recoveries
+    (nav2_stock_params.yaml:26-81, behavior_server defaults)."""
+
+    desired_linear_vel: float = 0.8
+    lookahead_time: float = 1.5
+    min_lookahead: float = 1.5
+    max_lookahead: float = 3.5
+    min_approach_vel: float = 0.3      # min_approach_linear_velocity
+    approach_scaling_dist: float = 1.5
+    regulated_min_radius: float = 0.9  # regulated_linear_scaling_min_radius
+    regulated_min_speed: float = 0.25
+    max_angular_vel: float = 1.0
+    # SimpleProgressChecker (yaml:38-44, v3b loosened values)
+    required_movement_radius: float = 0.3
+    movement_time_allowance: float = 30.0
+    # behavior_server recovery suite (BT round-robin)
+    spin_duration_s: float = 1.6       # ~90 deg at 1 rad/s
+    spin_vel: float = 1.0
+    backup_duration_s: float = 3.0
+    backup_vel: float = -0.12
+    wait_duration_s: float = 5.0
 
 
 @_frozen
@@ -299,6 +347,10 @@ class VioConfig:
     # regime/noise parity with vio_th160.yaml calibration
     noise_acc: float = 0.275
     noise_gyro: float = 0.017
+    # ORB-SLAM3 ThDepth=160 x baseline 0.05 m: only points closer than this
+    # get a depth (stereo/RGB-D) constraint; farther points are
+    # depth-unreliable and are not inserted as map points
+    th_depth_m: float = 8.0
     enable_local_ba: bool = True       # sliding-window BA in the repeat loop
     # motion-model plausibility gate: reject a frame's optimized pose when it
     # jumps further than this from the inertial/constant-velocity prediction
@@ -339,6 +391,7 @@ class Config:
     map: MapConfig = MapConfig()
     planner: PlannerConfig = PlannerConfig()
     control: ControlConfig = ControlConfig()
+    rpp: RppConfig = RppConfig()
     supervisor: SupervisorConfig = SupervisorConfig()
     teach: TeachConfig = TeachConfig()
     eval: EvalConfig = EvalConfig()

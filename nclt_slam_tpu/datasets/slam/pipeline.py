@@ -68,8 +68,15 @@ def run_icp_odometry(scans, scan_valid, odom_pred=None, local_map_scans=20,
 
 
 def run_slam(scans, scan_valid, odom_pred=None, gps_xy=None,
-             loop_min_gap=20, sc_thresh=0.3, **icp_kw):
+             loop_min_gap=20, sc_thresh=0.3, register_loops=True,
+             seed=0, **icp_kw):
     """Full LiDAR SLAM: ICP odometry + loop closure + pose-graph optimize.
+
+    ``register_loops``: estimate each loop edge's relative transform with
+    FPFH-RANSAC global registration + ICP refine (the reference's
+    loop_closure.py chain); candidates whose registration fails its
+    consensus/rmse gates are dropped.  With False, loop edges assume an
+    exact revisit (identity) — only correct for strictly repeated paths.
 
     Returns dict(poses_open, poses_optimized, loops, rmses)."""
     poses, rmses = run_icp_odometry(scans, scan_valid, odom_pred, **icp_kw)
@@ -97,7 +104,28 @@ def run_slam(scans, scan_valid, odom_pred=None, gps_xy=None,
     odo = np.asarray(odo, np.float32)
 
     L = int(found.shape[0])
-    loop_meas = np.zeros((L, 3), np.float32)  # revisit = same pose
+    loop_meas = np.zeros((L, 3), np.float32)
+    found_np = np.asarray(found).copy()
+    li_np, lj_np = np.asarray(li), np.asarray(lj)
+    if register_loops and found_np.any():
+        from nclt_slam_tpu.datasets.slam.registration import register_loop
+
+        reg = jax.jit(lambda s, sv, d, dv, k: register_loop(s, sv, d, dv, k))
+        key = jax.random.PRNGKey(seed)
+        for e in np.flatnonzero(found_np):
+            i, j = int(li_np[e]), int(lj_np[e])
+            key, k = jax.random.split(key)
+            # T_i<-j: align scan j (src) into scan i's sensor frame (dst)
+            r = reg(jnp.asarray(scans[j], jnp.float32),
+                    jnp.asarray(scan_valid[j]),
+                    jnp.asarray(scans[i], jnp.float32),
+                    jnp.asarray(scan_valid[i]), k)
+            if not bool(r.ok):
+                found_np[e] = False   # registration gate failed -> drop loop
+                continue
+            R, t = np.asarray(r.R), np.asarray(r.t)
+            loop_meas[e] = (t[0], t[1], np.arctan2(R[1, 0], R[0, 0]))
+        found = jnp.asarray(found_np)
     graph = PoseGraph2D(
         poses=jnp.asarray(poses2d, jnp.float32),
         odo_meas=jnp.asarray(odo),

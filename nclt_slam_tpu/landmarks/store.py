@@ -59,9 +59,15 @@ def record_tick(store: LandmarkStore, obs: Observation, cam_pos, cam_yaw,
     slot_free = store.count < cfg.max_landmarks
 
     # reference gates: below-horizon pixels (v > 180) + depth range
-    # (0.5-15 m already enforced by the observation model)
+    # (0.5-15 m already enforced by the observation model) + the 3x3
+    # depth-patch std < 0.30 m gate (recorder :259-269).  Under the stereo
+    # noise model the patch std IS the physical depth noise
+    # sigma_z = rel_per_m * z^2, so the gate drops range-noisy points
+    # (z > ~7.7 m) exactly like the reference drops high-variance patches.
     F = cfg.feats_per_landmark
-    gate = obs.valid & (obs.uv[:, 1] > cfg.ground_v_threshold)
+    sigma_z = cam.depth_noise_rel_per_m * obs.p3d_cam[:, 2] ** 2
+    gate = obs.valid & (obs.uv[:, 1] > cfg.ground_v_threshold) & \
+        (sigma_z < cfg.depth_patch_std_max)
     # compact the first F gated features into the landmark slots
     order = jnp.argsort(~gate)  # gated features first, stable
     take = order[:F]

@@ -62,6 +62,67 @@ def subsample_waypoints(dense_xy: np.ndarray, n_dense: int, cfg: PlannerConfig):
     return out, n
 
 
+def stock_project_waypoints(teach_grid: np.ndarray, wps: np.ndarray,
+                            n_wps: int, map_cfg,
+                            proj_radius_m: float = 2.0,
+                            lethal: float = 70.0,
+                            free: float = 50.0):
+    """One-time client-side WP projection, the stock baseline's only costmap
+    awareness (waypoint_follower_client.py:66-163): peek the static teach-map
+    costmap at every WP; cost >= LETHAL_INFLATED (70) -> move to the nearest
+    cell < 50 within 2 m, or DROP the WP if none exists.  Runs on the host
+    before the rollout, like the reference client before sending the action.
+
+    teach_grid: (R, C) trinary int8.  Returns (wps', n') with dropped WPs
+    compacted out and tail-padded like subsample_waypoints.
+    """
+    from scipy import ndimage
+
+    occ = np.asarray(teach_grid) == 2
+    dist = ndimage.distance_transform_edt(~occ) * map_cfg.resolution
+    cost = 98.0 * np.exp(-map_cfg.cost_scaling
+                         * np.maximum(dist - map_cfg.inscribed_radius, 0.0))
+    cost = np.where(dist <= map_cfg.inscribed_radius, 99.0, cost)
+    cost = np.where(dist <= map_cfg.inflation_radius + map_cfg.inscribed_radius,
+                    cost, 0.0)
+
+    res = map_cfg.resolution
+    rad_cells = int(proj_radius_m / res) + 1
+
+    def cost_at(x, y):
+        c = int((x - map_cfg.origin_x) / res)
+        r = int((y - map_cfg.origin_y) / res)
+        if not (0 <= r < cost.shape[0] and 0 <= c < cost.shape[1]):
+            return 100.0
+        return float(cost[r, c])
+
+    kept = []
+    for x, y in np.asarray(wps)[: int(n_wps)]:
+        if cost_at(x, y) < lethal:
+            kept.append((x, y))
+            continue
+        best, best_d = None, None
+        for dr in range(-rad_cells, rad_cells + 1):
+            for dc in range(-rad_cells, rad_cells + 1):
+                if dr * dr + dc * dc > rad_cells * rad_cells:
+                    continue
+                nx, ny = x + dc * res, y + dr * res
+                if cost_at(nx, ny) < free:
+                    d = np.hypot(nx - x, ny - y)
+                    if best_d is None or d < best_d:
+                        best, best_d = (nx, ny), d
+        if best is not None:
+            kept.append(best)
+        # else: dropped altogether (client "skipped_n")
+
+    kept = np.asarray(kept if kept else [np.asarray(wps)[0]], np.float32)
+    n = min(len(kept), int(wps.shape[0]))
+    out = np.zeros_like(np.asarray(wps, np.float32))
+    out[:n] = kept[:n]
+    out[n:] = kept[n - 1]
+    return out, n
+
+
 def init_dispatch(wps, n_wps, cfg: PlannerConfig) -> DispatchState:
     W = cfg.max_waypoints
     P = cfg.path_len
@@ -191,10 +252,16 @@ def dispatch_plan(state: DispatchState, robot_xy, cost_win, win_r0, win_c0,
     is_final = idx >= state.n_wps - cfg.final_wp_count
     wp = state.wps_proj[idx]
 
-    wp_cost = _cost_peak_3x3(cost_win, win_r0, win_c0, wp, map_cfg, cfg.window)
     known_hit = too_close_to_known(wp, known_xy, known_r, known_active) \
         if cfg.enable_known_obstacle_gate else jnp.array(False)
-    unsafe = (~is_final) & (known_hit | (wp_cost >= cfg.lookahead_skip_cost))
+    if cfg.enable_lookahead_skip:
+        wp_cost = _cost_peak_3x3(cost_win, win_r0, win_c0, wp, map_cfg,
+                                 cfg.window)
+        unsafe = (~is_final) & (known_hit | (wp_cost >= cfg.lookahead_skip_cost))
+    else:
+        # stock FollowWaypoints: no live cost lookahead — the client only
+        # projected/dropped WPs once before the run
+        unsafe = known_hit & ~is_final
 
     def detour_clear(cand):
         d = jnp.linalg.norm(cand[None, :] - known_xy, axis=-1)
@@ -238,11 +305,21 @@ def dispatch_move(state: DispatchState, robot_xy, known_xy, known_r,
     else:
         late_detect = jnp.array(False)
 
-    skip_now = (state.skip[idx] | late_detect) & ~is_final
-    max_fails = jnp.where(is_final, 10 ** 6, cfg.max_plan_fails)
-    timeout = jnp.where(is_final, 2 * cfg.goal_timeout_ticks,
-                        cfg.goal_timeout_ticks)
-    fail_skip = (state.plan_fails >= max_fails) | (state.ticks_on_wp >= timeout)
+    if cfg.stock_follow:
+        # stock Nav2 WaypointFollower: no per-WP timeout exists — a goal the
+        # goal_checker never declares reached blocks forever (the reference
+        # baseline's stall mode); NavigateToPose only aborts on repeated
+        # planner failure, after which stop_on_failure=false moves on.  The
+        # final WPs get no special policy.
+        skip_now = state.skip[idx]
+        fail_skip = state.plan_fails >= cfg.max_plan_fails
+    else:
+        skip_now = (state.skip[idx] | late_detect) & ~is_final
+        max_fails = jnp.where(is_final, 10 ** 6, cfg.max_plan_fails)
+        timeout = jnp.where(is_final, 2 * cfg.goal_timeout_ticks,
+                            cfg.goal_timeout_ticks)
+        fail_skip = (state.plan_fails >= max_fails) | \
+            (state.ticks_on_wp >= timeout)
 
     advance = (reached | skip_now | fail_skip) & ~state.done
     new_idx = jnp.minimum(state.idx + jnp.where(advance, 1, 0), state.n_wps)

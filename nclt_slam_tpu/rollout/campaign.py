@@ -144,6 +144,25 @@ def teach_waypoints(data: CampaignData, teach: TeachResult, cfg: Config,
     return jnp.asarray(np.stack(wps_list)), jnp.asarray(np.asarray(n_list))
 
 
+def apply_stock_projection(teach_grids, wps, n_wps, cfg: Config):
+    """Stock-baseline client-side WP preparation: when cfg.planner.stock_follow
+    is set, run the one-time teach-map projection/drop pass per route
+    (waypoint_follower_client._prepare_poses).  No-op for other stacks."""
+    if not cfg.planner.stock_follow:
+        return wps, n_wps
+    from nclt_slam_tpu.planning.dispatcher import stock_project_waypoints
+
+    tg = np.asarray(teach_grids)
+    w = np.asarray(wps)
+    n = np.asarray(n_wps)
+    out_w, out_n = [], []
+    for i in range(w.shape[0]):
+        wi, ni = stock_project_waypoints(tg[i], w[i], int(n[i]), cfg.map)
+        out_w.append(wi)
+        out_n.append(ni)
+    return jnp.asarray(np.stack(out_w)), jnp.asarray(np.asarray(out_n))
+
+
 def run_campaign_repeat(data: CampaignData, teach_grids, wps, n_wps,
                         cfg: Config, n_ticks: int, stores=None,
                         chunk: int = 250, progress=None) -> RepeatResult:

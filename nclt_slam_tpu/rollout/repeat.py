@@ -27,6 +27,7 @@ import jax.numpy as jnp
 
 from nclt_slam_tpu.config import Config
 from nclt_slam_tpu.control.pure_pursuit import CtrlState, follower_tick, init_ctrl
+from nclt_slam_tpu.control.rpp import init_rpp, rpp_tick
 from nclt_slam_tpu.control.supervisor import SupervisorState, init_supervisor, supervisor_tick
 from nclt_slam_tpu.dynamics.diffdrive import RobotState, init_robot, nav_substeps, robot_pose3d
 from nclt_slam_tpu.fusion.relay import FusionState, anchor_update, fusion_tick, init_fusion
@@ -224,12 +225,17 @@ def repeat_step(carry: RepeatCarry, tick, scene: PackedScene,
     dispatch = dispatch_move(dispatch, nav_xy, scene.xy, scene.radius,
                              scene.drop_mask & valid_now, cfg.planner)
 
-    # --- follower ---
-    ctrl, v, w = follower_tick(
-        carry.ctrl, nav_xy, nav_yaw, dispatch.path_xy, dispatch.n_path,
-        dispatch.has_path & ~dispatch.done, dispatch.plan_version,
-        cost_win, win_r0, win_c0, t_now, cfg.map, cfg.control,
-        cfg.planner.window)
+    # --- follower (thesis pure-pursuit stack or stock RPP baseline) ---
+    if cfg.control.use_rpp:
+        ctrl, v, w = rpp_tick(
+            carry.ctrl, nav_xy, nav_yaw, dispatch.path_xy, dispatch.n_path,
+            dispatch.has_path & ~dispatch.done, t_now, cfg.rpp)
+    else:
+        ctrl, v, w = follower_tick(
+            carry.ctrl, nav_xy, nav_yaw, dispatch.path_xy, dispatch.n_path,
+            dispatch.has_path & ~dispatch.done, dispatch.plan_version,
+            cost_win, win_r0, win_c0, t_now, cfg.map, cfg.control,
+            cfg.planner.window)
     v = jnp.where(dispatch.done, 0.0, v)
     w = jnp.where(dispatch.done, 0.0, w)
 
@@ -255,7 +261,7 @@ def init_repeat_carry(route: PackedRoute, wps, n_wps, cfg: Config,
     k_imu, key = jax.random.split(key)
     return RepeatCarry(
         robot=robot,
-        ctrl=init_ctrl(),
+        ctrl=init_rpp() if cfg.control.use_rpp else init_ctrl(),
         dispatch=init_dispatch(wps, n_wps, cfg.planner),
         sup=init_supervisor(),
         imu=init_imu(k_imu, cfg.imu),

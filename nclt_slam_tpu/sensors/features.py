@@ -25,7 +25,8 @@ import numpy as np
 from nclt_slam_tpu.config import CameraConfig, LandmarkConfig
 from nclt_slam_tpu.sensors.depth import camera_pose
 
-FEATS_PER_OBJ = 8  # half on the trunk, half on the ground apron around it
+FEATS_PER_OBJ = 12  # 1/3 on the trunk, 2/3 on the ground apron around it
+_TRUNK_FEATS = 4    # features on the collider wall; the rest are apron
 
 
 class SceneFeatures(NamedTuple):
@@ -46,7 +47,7 @@ def build_scene_features(obs_xy: np.ndarray, obs_r: np.ndarray,
     xyz = np.zeros((S, 3), np.float32)
     owner = np.repeat(np.arange(N, dtype=np.int32), FEATS_PER_OBJ)
     valid = np.repeat(np.asarray(obs_valid, bool), FEATS_PER_OBJ)
-    half = FEATS_PER_OBJ // 2
+    half = _TRUNK_FEATS
     for i in range(N):
         for k in range(FEATS_PER_OBJ):
             ang = rng.uniform(0, 2 * np.pi)
@@ -125,9 +126,12 @@ def observe(base_pos, yaw, feats: SceneFeatures, obs_valid_now,
     # observation noise: pixel jitter + depth noise + descriptor bit flips
     k1, k2, k3 = jax.random.split(key, 3)
     uv = jnp.stack([u[idx], v[idx]], -1)
-    uv = uv + 0.5 * jax.random.normal(k1, uv.shape)
+    uv = uv + cam.px_noise * jax.random.normal(k1, uv.shape)
     p3d = p_cam[idx]
-    depth_noise = 1.0 + 0.01 * jax.random.normal(k2, (K, 1))
+    # stereo-depth error: sigma_z/z = depth_noise_rel_per_m * z (quadratic
+    # absolute error, like D435i disparity-limited depth)
+    rel_std = cam.depth_noise_rel_per_m * jnp.maximum(p3d[:, 2:3], 0.0)
+    depth_noise = 1.0 + rel_std * jax.random.normal(k2, (K, 1))
     p3d = p3d * depth_noise  # multiplicative range noise
 
     desc = feats.desc[idx]

@@ -114,7 +114,11 @@ def _pose_gn(pos0, q0, X_w, uv_obs, z_obs, w_pt, cam: CameraConfig,
         p_cam = p_base @ R_BASE_CAM
         uv = _project(p_cam, cam)
         r_uv = (uv - uv_obs)                     # (M, 2) px
-        r_z = 20.0 * (p_cam[:, 2] - z_obs)       # depth in px-equivalent units
+        # depth residual in px-equivalent units, weighted by the stereo
+        # noise model (sigma_z grows quadratically with range, so far depth
+        # readings contribute weakly — ORB-SLAM3's per-level sigma weighting)
+        sigma_z = jnp.maximum(0.05, cam.depth_noise_rel_per_m * z_obs ** 2)
+        r_z = (p_cam[:, 2] - z_obs) / sigma_z
         return jnp.concatenate([r_uv, r_z[:, None]], -1)  # (M, 3)
 
     def gn_iter(carry, _):
@@ -220,6 +224,10 @@ def vio_frame(state: VioState, obs: Observation, imu_block_meas, dt_frame,
     # insert only genuinely NEW features: unmatched AND descriptor-novel
     # (re-inserting unmatched-but-known features floods the ring with
     # duplicates and churns live map points out)
+    # far points still become map points (ORB-SLAM3 keeps them as
+    # bearing-only/monocular points beyond ThDepth — dropping them starves
+    # forward geometry); their unreliable depth is handled by the
+    # sigma_z-weighted depth residual in _pose_gn instead
     novel = best_d > 80
     insert = obs.valid & (~matched) & novel & (obs.p3d_cam[:, 2] > 0.3)
     # rank: insertable first; take as many slots as we allow per frame

@@ -36,8 +36,13 @@ def slam_pose_for(x, y, yaw):
     return jnp.asarray(T_slam[:3, 3], jnp.float32), jnp.asarray(q, jnp.float32)
 
 
+# parity tests run against the reference's absolute-compass encoder model
+# (compass_drift=0); the campaign default is the degraded rate-gyro model
+import dataclasses as _dc
+
+_ENC_ABS = _dc.replace(CFG.encoder, compass_drift=0.0)
 _tick = jax.jit(lambda st, gx, gy, gyaw, t, q, ok, tk, k: fusion_tick(
-    st, gx, gy, gyaw, t, q, ok, tk, k, CFG.encoder, CFG.fusion))
+    st, gx, gy, gyaw, t, q, ok, tk, k, _ENC_ABS, CFG.fusion))
 
 
 def run_track(xs, ys, yaws, slam_ok=True, anchors=None, seed=0):
