@@ -72,20 +72,112 @@ def main():
     # secondary metric: sliding-window BA solves/sec (batched windows)
     ba_rate = _bench_ba()
 
+    extra = {"ba_solves_per_sec": round(ba_rate, 1),
+             "routes": len(names), "ticks": n_ticks, "mode": mode,
+             "wall_s": round(dt, 2)}
+    if os.environ.get("BENCH_ROOFLINE", "1") != "0":
+        extra["roofline"] = _roofline()
+
     baseline = 0.24 * 200.0  # reference: 18-30 % of real time, one route
     print(json.dumps({
         "metric": "env_steps_per_sec_per_chip",
         "value": round(steps_per_sec, 1),
         "unit": "steps/s",
         "vs_baseline": round(steps_per_sec / baseline, 2),
-        "extra": {"ba_solves_per_sec": round(ba_rate, 1),
-                  "routes": len(names), "ticks": n_ticks, "mode": mode,
-                  "wall_s": round(dt, 2)},
+        "extra": extra,
     }))
 
 
-def _bench_ba(batch: int = 64, iters: int = 8):
-    """Batched sliding-window BA throughput (10 KF x 128 pts per window)."""
+def _ba_flops_per_iter(K: int, P: int) -> float:
+    """Analytic FLOP count for one solve_ba GN iteration (fp32, +-20 %):
+    residual + two jacfwd sweeps (~10 residual evals x ~150 FLOP each),
+    Hessian-block einsums, the landmark Schur complement (dominant:
+    pai,pij,pbj->ab is 216 K^2 P), landmark 3x3 inverses, and the dense
+    (6K)^3 camera solve."""
+    return (K * P * 1500.0          # residuals + jacobians
+            + K * P * 420.0         # H_pp/H_ll/H_pl/g einsums
+            + 216.0 * K * K * P + 108.0 * K * P   # Schur complement
+            + 120.0 * P             # H_ll inverses
+            + 144.0 * K ** 3)       # dense reduced solve
+
+
+def _roofline():
+    """Roofline context for the flagship kernels (VERDICT r1 #8).
+
+    BA: solves/s over a window-size sweep up to covisibility scale, with
+    achieved TFLOP/s from the analytic count and MFU vs the chip's bf16
+    peak (~197 TFLOP/s on v5e; we run jax_default_matmul_precision=highest
+    so fp32-accurate passes cost extra MXU cycles — MFU is reported against
+    the bf16 ceiling to stay conservative).
+
+    Raycaster: rays/s for the full 15-route sensing batch plus the analytic
+    per-ray cost (34 terrain evals x ~70 FLOP + N_collider cylinder tests
+    x ~30 FLOP) — VPU/transcendental-bound, not MXU.
+    """
+    PEAK_BF16 = 197e12
+    out = {"ba_sweep": [], "peak_bf16_tflops": 197.0}
+    for K, P, batch in [(10, 48, 64), (10, 128, 64), (16, 256, 32),
+                        (24, 512, 8)]:
+        rate = _bench_ba(batch=batch, iters=8, K=K, P=P)
+        fl = _ba_flops_per_iter(K, P) * 8
+        achieved = rate * fl
+        out["ba_sweep"].append({
+            "K": K, "P": P, "batch": batch,
+            "solves_per_sec": round(rate, 1),
+            "gflops_per_solve": round(fl / 1e9, 3),
+            "achieved_tflops": round(achieved / 1e12, 3),
+            "mfu_bf16_pct": round(100.0 * achieved / PEAK_BF16, 2),
+        })
+    out["raycast"] = _bench_raycast()
+    return out
+
+
+def _bench_raycast(batch: int = 15, reps: int = 50):
+    """Depth-raycaster throughput over a route-batch of poses."""
+    import numpy as np
+
+    from nclt_slam_tpu import config as cfg_mod
+    from nclt_slam_tpu.rollout.campaign import build_campaign
+    from nclt_slam_tpu.scene.terrain import terrain_height
+    from nclt_slam_tpu.sensors.depth import render_depth
+
+    cfg = cfg_mod.DEFAULT
+    data = build_campaign(None, cfg=cfg)  # all routes (scene is cached)
+    sc = data.scenes_repeat
+    rng = np.random.RandomState(1)
+    xy = rng.uniform(-60, 40, (batch, 2)).astype(np.float32)
+    z = np.asarray(terrain_height(xy[:, 0], xy[:, 1])) + 0.31
+    pos = jnp.asarray(np.column_stack([xy, z]))
+    yaw = jnp.asarray(rng.uniform(-3, 3, batch).astype(np.float32))
+
+    f = jax.jit(jax.vmap(
+        lambda p, y, sxy, sr, sz, sh, sv: render_depth(
+            p, y, sxy, sr, sz, sh, sv, cfg.camera)))
+    args = (pos, yaw, sc.xy[:batch], sc.radius[:batch], sc.base_z[:batch],
+            sc.height[:batch], sc.valid[:batch])
+    jax.block_until_ready(f(*args))
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        out = f(*args)
+    jax.block_until_ready(out)
+    dt = time.perf_counter() - t0
+
+    rays = batch * cfg.camera.ray_cols * cfg.camera.ray_rows
+    n_coll = int(sc.xy.shape[1])
+    flops_per_ray = 34 * 70.0 + n_coll * 30.0
+    rays_per_sec = rays * reps / dt
+    return {
+        "rays_per_sec": round(rays_per_sec, 0),
+        "frames_per_sec": round(batch * reps / dt, 1),
+        "flops_per_ray_est": round(flops_per_ray, 0),
+        "achieved_gflops": round(rays_per_sec * flops_per_ray / 1e9, 1),
+        "note": "VPU/transcendental-bound (terrain sines), not MXU",
+    }
+
+
+def _bench_ba(batch: int = 64, iters: int = 8, K: int | None = None,
+              P: int | None = None):
+    """Batched sliding-window BA throughput (default 10 KF x 128 pts)."""
     import numpy as np
 
     from nclt_slam_tpu import config as cfg_mod
@@ -93,7 +185,8 @@ def _bench_ba(batch: int = 64, iters: int = 8):
 
     cfg = cfg_mod.DEFAULT
     rng = np.random.RandomState(0)
-    K, P = cfg.vio.window_kf, cfg.vio.max_points
+    K = K or cfg.vio.window_kf
+    P = P or cfg.vio.max_points
 
     def mk(seed):
         r = np.random.RandomState(seed)

@@ -38,16 +38,21 @@ def scan_context(pts, valid, n_sectors: int = N_SECTORS,
 
 def sc_distance(d1, d2):
     """Rotation-invariant ScanContext distance: min over column shifts of
-    the mean cosine distance between corresponding columns."""
+    the whole-descriptor cosine distance (reference distance_rot,
+    loop_closure.py:49-64 — flattened dot product, so empty cells
+    contribute nothing instead of counting as full mismatch)."""
+    v1 = d1.reshape(-1)
+    n1 = jnp.linalg.norm(v1)
+    v1n = v1 / jnp.maximum(n1, 1e-6)
 
-    def col_dist(shift):
-        d2s = jnp.roll(d2, shift, axis=1)
-        num = (d1 * d2s).sum(0)
-        den = jnp.linalg.norm(d1, axis=0) * jnp.linalg.norm(d2s, axis=0)
-        cos = jnp.where(den > 1e-6, num / jnp.maximum(den, 1e-6), 0.0)
-        return 1.0 - cos.mean()
+    def shift_dist(shift):
+        v2 = jnp.roll(d2, shift, axis=1).reshape(-1)
+        n2 = jnp.linalg.norm(v2)
+        return jnp.where(n2 < 1e-6, 1.0,
+                         1.0 - v1n @ (v2 / jnp.maximum(n2, 1e-6)))
 
-    dists = jax.vmap(col_dist)(jnp.arange(d1.shape[1]))
+    dists = jax.vmap(shift_dist)(jnp.arange(d1.shape[1]))
+    dists = jnp.where(n1 < 1e-6, jnp.ones_like(dists), dists)
     return dists.min(), jnp.argmin(dists)
 
 
@@ -77,6 +82,51 @@ def detect_loops(descs, positions, valid, min_gap: int = 50,
     order = jnp.argsort(flat)[:max_loops]
     found = jnp.isfinite(flat[order]) & (flat[order] < sc_thresh)
     return order // K, order % K, found
+
+
+def ring_key(desc):
+    """Rotation-invariant ring key: per-ring mean occupancy (R,) — the
+    ScanContext paper's first-stage search key.  Column shifts permute
+    sectors within a ring, so the ring mean is shift-invariant."""
+    return desc.mean(axis=-1)
+
+
+def detect_loops_scalable(descs, positions, valid, min_gap: int = 50,
+                          gps_radius: float = 10.0, sc_thresh: float = 0.25,
+                          max_loops: int = 32, shortlist: int = 256):
+    """Two-stage loop detection for long sessions (the K^2 full-descriptor
+    sweep in detect_loops costs ~1 MFLOP/pair — hopeless at K >= 2000).
+
+    Stage 1: ring-key L1 distance over all gated pairs (one (K, K, R)
+    reduction — cheap).  Stage 2: full rotation-search ScanContext distance
+    on only the ``shortlist`` best candidates.  Same thresholds/semantics
+    as detect_loops; identical results whenever the shortlist covers the
+    true candidates.
+    """
+    K = descs.shape[0]
+    d_pos = jnp.linalg.norm(positions[:, None] - positions[None, :], axis=-1)
+    gap = jnp.abs(jnp.arange(K)[:, None] - jnp.arange(K)[None, :])
+    cand = (d_pos < gps_radius) & (gap > min_gap) & \
+        valid[:, None] & valid[None, :]
+    cand = jnp.triu(cand)
+
+    keys = ring_key(descs)                                    # (K, R)
+    key_d = jnp.abs(keys[:, None, :] - keys[None, :, :]).mean(-1)
+    key_d = jnp.where(cand, key_d, jnp.inf)
+
+    flat = key_d.reshape(-1)
+    short = jnp.argsort(flat)[:shortlist]                     # best ring-keys
+    si, sj = short // K, short % K
+    s_ok = jnp.isfinite(flat[short])
+
+    def full_dist(i, j, ok):
+        d, _ = sc_distance(descs[i], descs[j])
+        return jnp.where(ok, d, jnp.inf)
+
+    dists = jax.vmap(full_dist)(si, sj, s_ok)                 # (shortlist,)
+    order = jnp.argsort(dists)[:max_loops]
+    found = jnp.isfinite(dists[order]) & (dists[order] < sc_thresh)
+    return si[order], sj[order], found
 
 
 class PoseGraph2D(NamedTuple):

@@ -67,9 +67,55 @@ def run_icp_odometry(scans, scan_valid, odom_pred=None, local_map_scans=20,
     return np.stack(poses), np.asarray(rmses)
 
 
+def run_icp_odometry_scan(scans, scan_valid, odom_rel=None,
+                          local_map_scans=20, icp_iters=15, max_corr=1.0):
+    """Device-resident ICP odometry: the whole session as ONE lax.scan.
+
+    Unlike run_icp_odometry (host loop, one jit round trip per scan — the
+    streaming/IO-bound shape), this keeps scans, the sliding local map, and
+    the pose chain on-device, so a 2k-scan session is a single XLA program
+    with no per-scan host synchronization.  Memory: T x N x 3 floats.
+
+    odom_rel: optional (T, 4, 4) relative wheel-odometry predictions.
+    Returns (poses (T, 4, 4), rmses (T,)).
+    """
+    T_n, N = scans.shape[0], scans.shape[1]
+    scans = jnp.asarray(scans, jnp.float32)
+    scan_valid = jnp.asarray(scan_valid)
+    if odom_rel is None:
+        odom_rel = jnp.tile(jnp.eye(4), (T_n, 1, 1))
+    else:
+        odom_rel = jnp.asarray(odom_rel, jnp.float32)
+
+    lm0 = init_local_map(local_map_scans, N)
+    lm0 = local_map_insert(lm0, scans[0], scan_valid[0])
+
+    def body(carry, inp):
+        lm, R, t = carry
+        scan, sv, rel = inp
+        Rg = R @ rel[:3, :3]
+        tg = R @ rel[:3, 3] + t
+        dst, dv = local_map_flat(lm)
+        res = icp_point_to_point(scan, sv, dst, dv, R0=Rg, t0=tg,
+                                 iters=icp_iters, max_corr=max_corr)
+        world = scan @ res.R.T + res.t
+        lm = local_map_insert(lm, world, sv)
+        return (lm, res.R, res.t), (res.R, res.t, res.rmse)
+
+    run = jax.jit(lambda sc, sv, od: jax.lax.scan(
+        body, (lm0, jnp.eye(3), jnp.zeros(3)), (sc, sv, od)))
+    (_, _, _), (Rs, ts, rmses) = run(scans[1:], scan_valid[1:], odom_rel[1:])
+
+    poses = jnp.tile(jnp.eye(4), (T_n, 1, 1))
+    poses = poses.at[1:, :3, :3].set(Rs).at[1:, :3, 3].set(ts)
+    rmses = jnp.concatenate([jnp.zeros(1), rmses])
+    return np.asarray(poses), np.asarray(rmses)
+
+
 def run_slam(scans, scan_valid, odom_pred=None, gps_xy=None,
              loop_min_gap=20, sc_thresh=0.3, register_loops=True,
-             seed=0, **icp_kw):
+             seed=0, device_resident=None, max_loops=32,
+             sc_max_range=80.0, **icp_kw):
     """Full LiDAR SLAM: ICP odometry + loop closure + pose-graph optimize.
 
     ``register_loops``: estimate each loop edge's relative transform with
@@ -78,19 +124,38 @@ def run_slam(scans, scan_valid, odom_pred=None, gps_xy=None,
     consensus/rmse gates are dropped.  With False, loop edges assume an
     exact revisit (identity) — only correct for strictly repeated paths.
 
-    Returns dict(poses_open, poses_optimized, loops, rmses)."""
-    poses, rmses = run_icp_odometry(scans, scan_valid, odom_pred, **icp_kw)
-    T_n = len(poses)
+    ``device_resident``: run the whole odometry chain as one on-device
+    lax.scan instead of a host loop (auto: sessions >= 300 scans).
 
-    descs = jnp.stack([
-        scan_context(jnp.asarray(scans[t], jnp.float32),
-                     jnp.asarray(scan_valid[t]))
-        for t in range(T_n)])
+    Returns dict(poses_open, poses_optimized, loops, rmses)."""
+    T_n = scans.shape[0]
+    if device_resident is None:
+        device_resident = T_n >= 300
+    if device_resident:
+        poses, rmses = run_icp_odometry_scan(scans, scan_valid, odom_pred,
+                                             **icp_kw)
+    else:
+        poses, rmses = run_icp_odometry(scans, scan_valid, odom_pred,
+                                        **icp_kw)
+
+    descs = jax.jit(jax.vmap(
+        lambda s, v: scan_context(s, v, max_range=sc_max_range)))(
+        jnp.asarray(scans, jnp.float32), jnp.asarray(scan_valid))
     positions = jnp.asarray(
         gps_xy if gps_xy is not None else poses[:, :2, 3], jnp.float32)
-    li, lj, found = detect_loops(descs, positions,
-                                 jnp.ones(T_n, bool), min_gap=loop_min_gap,
-                                 sc_thresh=sc_thresh)
+    if T_n >= 300:
+        from nclt_slam_tpu.datasets.slam.loop_closure import (
+            detect_loops_scalable,
+        )
+        li, lj, found = jax.jit(lambda d, p: detect_loops_scalable(
+            d, p, jnp.ones(T_n, bool), min_gap=loop_min_gap,
+            sc_thresh=sc_thresh, max_loops=max_loops))(descs, positions)
+    else:
+        li, lj, found = detect_loops(descs, positions,
+                                     jnp.ones(T_n, bool),
+                                     min_gap=loop_min_gap,
+                                     sc_thresh=sc_thresh,
+                                     max_loops=max_loops)
 
     # 2-D graph from the open-loop chain
     yaw = np.arctan2(poses[:, 1, 0], poses[:, 0, 0])
