@@ -278,6 +278,14 @@ def main(argv=None):
         if paused:
             import time as _t
 
+            # surface the parked state so clients (and the stop test) can
+            # distinguish "parked between chunks" from "chunk in flight"
+            with live.lock:
+                if live.state_blob:
+                    st = json.loads(live.state_blob)
+                    if not st.get("paused"):
+                        st["paused"] = True
+                        live.state_blob = json.dumps(st).encode()
             _t.sleep(0.3)
             continue
 

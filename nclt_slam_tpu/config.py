@@ -127,6 +127,20 @@ class FusionConfig:
     align_window: int = 50
     align_max_gt_disp: float = 0.15
     align_max_yaw_std_deg: float = 0.5
+    # yaw source.  v55 takes yaw from the encoder compass alone (:585) —
+    # correct for its absolute-compass sensor.  With the rate-gyro compass
+    # model (EncoderConfig.compass_drift > 0) heading bias random-walks,
+    # so the stack must take yaw from the aligned SLAM pose while tracking
+    # (what any VIO-backed stack does when it has no magnetometer); the
+    # encoder remains the fallback.  Set False for strict v55 replay parity.
+    fuse_slam_yaw: bool = True
+    # anchor feedback onto the dead-reckoning integrator.  v55's simulated
+    # encoder held an absolute compass, so its DR error stayed bounded and
+    # anchors only entered the position blend (:559-584).  With the
+    # rate-gyro compass model the DR error random-walks unbounded, so the
+    # relay resets its DR reference toward each accepted anchor — standard
+    # teach-and-repeat practice.  0 = strict v55 (no feedback).
+    anchor_enc_feedback: float = 0.5
 
 
 @_frozen

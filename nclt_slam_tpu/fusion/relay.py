@@ -99,9 +99,12 @@ def anchor_update(state: FusionState, anchor_xy, anchor_std, tick,
     streak = jnp.where(anchor_std <= cfg.anchor_strong_std,
                        state.strong_streak + 1,
                        jnp.maximum(0, state.strong_streak - 1))
+    # DR reference reset toward the anchor (FusionConfig.anchor_enc_feedback)
+    enc_xy = state.enc_xy + cfg.anchor_enc_feedback * \
+        (anchor_xy - state.enc_xy)
     return state._replace(anchor_xy=anchor_xy, anchor_std=anchor_std,
                           anchor_tick=tick, has_anchor=jnp.array(True),
-                          strong_streak=streak)
+                          strong_streak=streak, enc_xy=enc_xy)
 
 
 def _tick_alignment(T_slam, gt_x, gt_y, gt_yaw):
@@ -257,7 +260,7 @@ def fusion_tick(state: FusionState, gt_x, gt_y, gt_yaw, slam_t, slam_quat,
     # ---- SE(3)->SE(2) alignment ----
     R_slam = _quat_to_mat(slam_quat)
     T_slam = jnp.eye(4).at[:3, :3].set(R_slam).at[:3, 3].set(slam_t)
-    align_state, slam_nx, slam_ny, _ = _slam_to_nav(
+    align_state, slam_nx, slam_ny, slam_nyaw = _slam_to_nav(
         state, T_slam, slam_quat, slam_t, gt_x, gt_y, gt_yaw, cfg)
     # only advance alignment machinery while SLAM is tracking
     state = jax.tree_util.tree_map(
@@ -303,7 +306,12 @@ def fusion_tick(state: FusionState, gt_x, gt_y, gt_yaw, slam_t, slam_quat,
     nav_x = jnp.where(slam_ok, nav_x, ex)
     nav_y = jnp.where(slam_ok, nav_y, ey)
     regime = jnp.where(slam_ok, regime, REGIME_ENCODER)
-    nav_yaw = enc_yaw
+    # yaw source: encoder compass (v55:585) unless fuse_slam_yaw — then the
+    # aligned SLAM heading while tracking (rate-gyro compass model)
+    if cfg.fuse_slam_yaw:
+        nav_yaw = jnp.where(slam_ok & state.committed, slam_nyaw, enc_yaw)
+    else:
+        nav_yaw = enc_yaw
 
     # ---- jump rejection (JUMP_THRESHOLD 0.5 m / 0.3 rad): a sudden nav
     # pose jump between ticks → trust the encoder for this tick ----

@@ -83,6 +83,9 @@ class RepeatTrace(NamedTuple):
     regime: jax.Array       # fusion regime code
     anchor_ok: jax.Array    # anchor published this tick
     vio_tracked: jax.Array  # VIO match count
+    vio_ndesc: jax.Array    # VIO descriptor matches pre-projection-gate
+    vio_nins: jax.Array     # VIO map insertions this frame
+    vio_flags: jax.Array    # VioAux.flags bitfield (enough/finite/plaus/lost)
     wp_idx: jax.Array
     cmd_v: jax.Array
     done: jax.Array
@@ -137,7 +140,7 @@ def repeat_step(carry: RepeatCarry, tick, scene: PackedScene,
                       k_obs, cfg.camera, cfg.landmarks)
 
         if mode.use_slam:
-            vio, slam_ok = vio_frame(
+            vio, slam_ok, vio_aux = vio_frame(
                 carry.vio, obs, imu_meas,
                 cfg.sim.nav_decimation / cfg.sim.physics_hz, GRAVITY,
                 cfg.camera, cfg.vio, mode.use_imu)
@@ -153,6 +156,7 @@ def repeat_step(carry: RepeatCarry, tick, scene: PackedScene,
                 jnp.isfinite(slam_q).all()
         else:
             vio = carry.vio
+            vio_aux = None
             slam_ok = jnp.array(False)
             slam_t = jnp.zeros(3)
             slam_q = jnp.array([0.0, 0.0, 0.0, 1.0])
@@ -239,10 +243,14 @@ def repeat_step(carry: RepeatCarry, tick, scene: PackedScene,
     v = jnp.where(dispatch.done, 0.0, v)
     w = jnp.where(dispatch.done, 0.0, w)
 
+    has_aux = (not mode.use_gt) and mode.use_slam
     trace = RepeatTrace(
         gt_xy=robot.xy, gt_yaw=gt_yaw, nav_xy=nav_xy,
         regime=regime, anchor_ok=anchor_ok,
         vio_tracked=vio.n_tracked if not mode.use_gt else jnp.int32(-1),
+        vio_ndesc=vio_aux.n_desc if has_aux else jnp.int32(-1),
+        vio_nins=vio_aux.n_ins if has_aux else jnp.int32(-1),
+        vio_flags=vio_aux.flags if has_aux else jnp.int32(0),
         wp_idx=dispatch.idx, cmd_v=v, done=dispatch.done, fired=sup.fired)
     new_carry = RepeatCarry(
         robot=robot, ctrl=ctrl, dispatch=dispatch, sup=sup,

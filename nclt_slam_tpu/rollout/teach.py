@@ -134,7 +134,7 @@ def teach_step(carry: TeachCarry, tick, scene: PackedScene, route: PackedRoute,
                                   1.0 / cfg.sim.physics_hz, k_imu, cfg.imu)
         obs = observe(pos3, robot.yaw, _scene_features(scene), valid_teach,
                       k_obs, cfg.camera, cfg.landmarks)
-        vio, _ = vio_frame(carry.vio, obs, imu_meas,
+        vio, _, _vaux = vio_frame(carry.vio, obs, imu_meas,
                            cfg.sim.nav_decimation / cfg.sim.physics_hz,
                            GRAVITY, cfg.camera, cfg.vio, True)
         drift = jax.lax.cond(

@@ -36,11 +36,23 @@ class SceneFeatures(NamedTuple):
     valid: jnp.ndarray   # (S,)
 
 
+GROUND_DENSITY = 0.25  # forest-floor texture features per m^2
+
+
 def build_scene_features(obs_xy: np.ndarray, obs_r: np.ndarray,
                          obs_base_z: np.ndarray, obs_h: np.ndarray,
                          obs_valid: np.ndarray, cfg: LandmarkConfig,
-                         seed: int = 123) -> SceneFeatures:
-    """Deterministic surface feature points + descriptors (numpy, offline)."""
+                         seed: int = 123,
+                         ground_density: float = GROUND_DENSITY,
+                         bounds=None) -> SceneFeatures:
+    """Deterministic surface feature points + descriptors (numpy, offline).
+
+    Besides the per-collider trunk/apron rings, a uniform forest-floor
+    texture field (roots, grass tufts, leaf litter — what real ORB latches
+    onto everywhere in the reference's forest) covers the scene bounds with
+    ``ground_density`` points/m^2 so the observation never starves between
+    tree clusters.  Ground features carry owner=-1: they never disappear
+    with obstacle removal."""
     rng = np.random.RandomState(seed)
     N = len(obs_xy)
     S = N * FEATS_PER_OBJ
@@ -66,6 +78,25 @@ def build_scene_features(obs_xy: np.ndarray, obs_r: np.ndarray,
                 xyz[j, 0] = obs_xy[i, 0] + rad * np.cos(ang)
                 xyz[j, 1] = obs_xy[i, 1] + rad * np.sin(ang)
                 xyz[j, 2] = obs_base_z[i] + rng.uniform(0.02, 0.15)
+    if ground_density > 0:
+        act = np.asarray(obs_valid, bool)
+        ref_xy = obs_xy[act] if act.any() else np.zeros((1, 2))
+        if bounds is None:
+            bounds = (ref_xy[:, 0].min() - 15, ref_xy[:, 0].max() + 15,
+                      ref_xy[:, 1].min() - 15, ref_xy[:, 1].max() + 15)
+        x0, x1, y0, y1 = bounds
+        G = int((x1 - x0) * (y1 - y0) * ground_density)
+        gx = rng.uniform(x0, x1, G).astype(np.float32)
+        gy = rng.uniform(y0, y1, G).astype(np.float32)
+        from nclt_slam_tpu.scene.terrain import terrain_height
+
+        gz = np.asarray(terrain_height(gx, gy)) + \
+            rng.uniform(0.02, 0.12, G).astype(np.float32)
+        xyz = np.concatenate([xyz, np.stack([gx, gy, gz], -1)], 0)
+        owner = np.concatenate([owner, np.full(G, -1, np.int32)], 0)
+        valid = np.concatenate([valid, np.ones(G, bool)], 0)
+        S += G
+
     desc = rng.randint(0, 2 ** 32, size=(S, cfg.desc_words), dtype=np.uint64)
     return SceneFeatures(
         xyz=jnp.asarray(xyz), desc=jnp.asarray(desc.astype(np.uint32)),
@@ -100,7 +131,9 @@ def observe(base_pos, yaw, feats: SceneFeatures, obs_valid_now,
 
     in_img = (u >= 1) & (u < cam.width - 1) & (v >= 1) & (v < cam.height - 1)
     in_depth = (z > cam.depth_min) & (z < cam.depth_max)
-    alive = feats.valid & obs_valid_now[feats.owner]
+    # owner -1 = ground-texture feature, never removed with obstacles
+    alive = feats.valid & ((feats.owner < 0)
+                           | obs_valid_now[jnp.maximum(feats.owner, 0)])
     vis = in_img & in_depth & alive
 
     # Occlusion is handled statistically by the descriptor-noise model (a

@@ -42,6 +42,16 @@ MAP_CAP = 384
 KF_OBS = 48   # stored observations per keyframe (local-BA factors)
 
 
+class VioAux(NamedTuple):
+    """Per-frame tracking telemetry (traced by the rollout for post-hoc
+    health analysis — the analog of ORB-SLAM3's per-frame log line)."""
+
+    n_desc: jax.Array   # descriptor (mutual-Hamming) matches, pre-proj-gate
+    n_match: jax.Array  # matches surviving the projection gate
+    n_ins: jax.Array    # map points inserted this frame
+    flags: jax.Array    # bit0 enough, bit1 finite, bit2 plausible, bit3 lost
+
+
 class VioState(NamedTuple):
     pos: jax.Array        # (3,) body position in VIO world (spawn frame)
     vel: jax.Array        # (3,)
@@ -50,8 +60,10 @@ class VioState(NamedTuple):
     map_desc: jax.Array   # (MAP_CAP, W) uint32
     map_valid: jax.Array  # (MAP_CAP,)
     map_age: jax.Array    # (MAP_CAP,) frames since last seen
+    map_obs: jax.Array    # (MAP_CAP,) observation count (refinement weight)
     next_slot: jax.Array  # () int32 ring insertion cursor
     lost: jax.Array       # () bool
+    implaus_streak: jax.Array  # () int32 consecutive implausible-GN frames
     n_tracked: jax.Array  # () int32 matches in the last frame
     frames: jax.Array     # () int32
     # --- sliding keyframe window (local BA) ---
@@ -75,8 +87,10 @@ def init_vio(desc_words: int, window_kf: int = 10) -> VioState:
         map_desc=jnp.zeros((MAP_CAP, desc_words), jnp.uint32),
         map_valid=jnp.zeros(MAP_CAP, bool),
         map_age=jnp.zeros(MAP_CAP, jnp.int32),
+        map_obs=jnp.zeros(MAP_CAP, jnp.int32),
         next_slot=jnp.int32(0),
         lost=jnp.array(False),
+        implaus_streak=jnp.int32(0),
         n_tracked=jnp.int32(0),
         frames=jnp.int32(0),
         kf_pos=jnp.zeros((K, 3)),
@@ -183,6 +197,8 @@ def vio_frame(state: VioState, obs: Observation, imu_block_meas, dt_frame,
     uv_pred = _project(p_cam_pred, cam)
     proj_ok = (jnp.linalg.norm(uv_pred - obs.uv, axis=-1) < cfg.proj_gate_px) \
         & (p_cam_pred[:, 2] > 0.1)
+    n_desc = matched.sum()
+    desc_matched = matched          # mutual Hamming matches, pre-proj-gate
     matched = matched & proj_ok
 
     n_match = matched.sum()
@@ -197,6 +213,16 @@ def vio_frame(state: VioState, obs: Observation, imu_block_meas, dt_frame,
     # rejects the frame); without this, fast-yaw transients (hairpin
     # turnarounds) briefly poison the map and the published pose
     plausible = jnp.linalg.norm(pos_opt - pos_pred) <= cfg.max_frame_jump_m
+    # ... but the gate must not be ABSORBING: after an abrupt state error
+    # (e.g. a rejected-in-hindsight BA correction, or re-entering the mapped
+    # corridor after a loss) the PREDICTION is what's wrong, not the
+    # measurement.  With a healthy match count agreeing on a far pose for
+    # several consecutive frames, accept it — ORB-SLAM3's relocalization-
+    # then-resume behavior, by consensus instead of DBoW.
+    consensus = finite & (~plausible) & (n_match >= 30)
+    implaus_streak = jnp.where(consensus, state.implaus_streak + 1,
+                               jnp.int32(0))
+    plausible = plausible | (consensus & (implaus_streak >= 3))
     enough = (n_match >= 8) & finite & plausible
     # When tracking is lost, FREEZE the emitted position instead of
     # dead-reckoning on noisy IMU (which diverges quadratically) — this is
@@ -210,10 +236,38 @@ def vio_frame(state: VioState, obs: Observation, imu_block_meas, dt_frame,
     q_new = jnp.where(enough, q_opt,
                       q_pred / jnp.linalg.norm(q_pred))
 
-    # velocity from pose difference blended with inertial prediction
+    # velocity from pose difference blended with inertial prediction;
+    # magnitude-clamped so a large accepted correction (consensus override,
+    # relocalization) cannot launch the next frame's inertial prediction
     vel_vis = (pos_new - state.pos) / dt_frame
     vel_new = jnp.where(enough, 0.7 * vel_vis + 0.3 * vel_pred,
                         jnp.zeros(3))
+    vel_new = vel_new * jnp.minimum(
+        1.0, 2.0 / (jnp.linalg.norm(vel_new) + 1e-9))
+
+    # ---- relocalization (ORB-SLAM3 Relocalization(), TPU form) ----
+    # While lost the pose is frozen, so the projection gate can never
+    # re-admit matches once the robot has moved on.  Instead: descriptor-
+    # only mutual matches against the persistent map, 3-D/3-D weighted
+    # Kabsch (map <- body-frame points) with one inlier reweighting round;
+    # accepted on inlier count + residual, it re-seeds the pose anywhere on
+    # the mapped corridor (the T&R return leg revisits it by design).
+    from nclt_slam_tpu.core.quat import mat_to_quat
+    from nclt_slam_tpu.landmarks.matcher import _kabsch
+
+    p_base_obs = obs.p3d_cam @ R_BASE_CAM.T + t_bc_g[None, :]
+    w0 = desc_matched.astype(jnp.float32)
+    R1, t1 = _kabsch(p_base_obs, X, w0)
+    r1 = jnp.linalg.norm(p_base_obs @ R1.T + t1[None, :] - X, axis=-1)
+    R2, t2 = _kabsch(p_base_obs, X, w0 * (r1 < 1.0))
+    r2 = jnp.linalg.norm(p_base_obs @ R2.T + t2[None, :] - X, axis=-1)
+    inl = desc_matched & (r2 < 0.5)
+    reloc_ok = (inl.sum() >= 20) & jnp.isfinite(t2).all() & \
+        jnp.isfinite(R2).all()
+    reloc = state.lost & reloc_ok & (~enough)
+    pos_new = jnp.where(reloc, t2, pos_new)
+    q_new = jnp.where(reloc, mat_to_quat(R2), q_new)
+    vel_new = jnp.where(reloc, jnp.zeros(3), vel_new)
 
     # ---- map maintenance ----
     R_wb = quat_to_mat(q_new)
@@ -221,13 +275,25 @@ def vio_frame(state: VioState, obs: Observation, imu_block_meas, dt_frame,
     p_base = obs.p3d_cam @ R_BASE_CAM.T + t_bc[None, :]
     X_new = p_base @ R_wb.T + pos_new[None, :]
 
+    # multi-view refinement: a matched map point averages its
+    # re-observations (running mean, weight 1/(1+n_obs)) — the streaming
+    # equivalent of ORB-SLAM3 refining each point from all its observations.
+    # cross_check matches are mutual-NN, so m_idx is injective over matched
+    # rows (no scatter conflicts).  Only refine while tracking is healthy,
+    # so a diverged pose can't drag the map.
+    refine = matched & enough
+    alpha = 1.0 / (1.0 + state.map_obs[m_idx].astype(jnp.float32))
+    X_refined = (1.0 - alpha[:, None]) * X + alpha[:, None] * X_new
+    map_xyz = state.map_xyz.at[m_idx].set(
+        jnp.where(refine[:, None], X_refined, state.map_xyz[m_idx]))
+    map_obs = state.map_obs.at[m_idx].add(jnp.where(refine, 1, 0))
+
     # insert only genuinely NEW features: unmatched AND descriptor-novel
     # (re-inserting unmatched-but-known features floods the ring with
-    # duplicates and churns live map points out)
-    # far points still become map points (ORB-SLAM3 keeps them as
-    # bearing-only/monocular points beyond ThDepth — dropping them starves
-    # forward geometry); their unreliable depth is handled by the
-    # sigma_z-weighted depth residual in _pose_gn instead
+    # duplicates and churns live map points out).  Far points still become
+    # map points (ORB-SLAM3 keeps them as bearing-only/monocular points
+    # beyond ThDepth — dropping them starves forward geometry); their
+    # unreliable depth is handled by the sigma_z-weighted depth residual.
     novel = best_d > 80
     insert = obs.valid & (~matched) & novel & (obs.p3d_cam[:, 2] > 0.3)
     # rank: insertable first; take as many slots as we allow per frame
@@ -235,13 +301,23 @@ def vio_frame(state: VioState, obs: Observation, imu_block_meas, dt_frame,
     order = jnp.argsort(~insert)
     take = order[:K_INS]
     ins_ok = insert[take] & enough
-    slots = (state.next_slot + jnp.arange(K_INS)) % MAP_CAP
-    map_xyz = state.map_xyz.at[slots].set(
-        jnp.where(ins_ok[:, None], X_new[take], state.map_xyz[slots]))
+    # eviction priority: invalid slots first, then oldest-unseen; points
+    # matched THIS frame are protected (ORB-SLAM3 culls stale points and
+    # keeps tracked ones — a blind ring cursor can evict the very points
+    # the tracker is standing on)
+    protected = jnp.zeros(MAP_CAP, bool).at[m_idx].max(matched)
+    evict = jnp.where(~state.map_valid, jnp.float32(1e9),
+                      jnp.where(protected, jnp.float32(-1.0),
+                                state.map_age.astype(jnp.float32)))
+    _, slots = jax.lax.top_k(evict, K_INS)
+    map_xyz = map_xyz.at[slots].set(
+        jnp.where(ins_ok[:, None], X_new[take], map_xyz[slots]))
     map_desc = state.map_desc.at[slots].set(
         jnp.where(ins_ok[:, None], obs.desc[take], state.map_desc[slots]))
     map_valid = state.map_valid.at[slots].set(
         state.map_valid[slots] | ins_ok)
+    map_obs = map_obs.at[slots].set(
+        jnp.where(ins_ok, 1, map_obs[slots]))
     # bootstrap: first frame inserts regardless of tracking
     first = state.frames == 0
     boot_ok = insert[take] & first
@@ -250,16 +326,19 @@ def vio_frame(state: VioState, obs: Observation, imu_block_meas, dt_frame,
     map_desc = map_desc.at[slots].set(
         jnp.where(boot_ok[:, None], obs.desc[take], map_desc[slots]))
     map_valid = map_valid.at[slots].set(map_valid[slots] | boot_ok)
+    map_obs = map_obs.at[slots].set(jnp.where(boot_ok, 1, map_obs[slots]))
     n_ins = (ins_ok | boot_ok).sum()
 
     # ages: matched points refresh, fresh insertions start at 0, others age
-    # out after 600 frames (60 s)
-    age = state.map_age + 1
+    # out after 600 frames (60 s).  While LOST the whole map is frozen in
+    # time — expiring it would make relocalization (map revisit) impossible;
+    # ORB-SLAM3 likewise keeps the map alive while the tracker is lost.
+    age = state.map_age + jnp.where(state.lost, 0, 1)
     age = age.at[m_idx].set(jnp.where(matched, 0, age[m_idx]))
     age = age.at[slots].set(jnp.where(ins_ok | boot_ok, 0, age[slots]))
     map_valid = map_valid & (age < 600)
 
-    lost = (~first) & (n_match < 8)
+    lost = (~first) & (n_match < 8) & (~reloc)
 
     # --- keyframe push (every kf_min_disp of tracked motion) ---
     K = state.kf_pos.shape[0]
@@ -290,16 +369,26 @@ def vio_frame(state: VioState, obs: Observation, imu_block_meas, dt_frame,
     new_state = VioState(
         pos=pos_new, vel=vel_new, q=q_new,
         map_xyz=map_xyz, map_desc=map_desc, map_valid=map_valid,
-        map_age=age,
+        map_age=age, map_obs=map_obs,
         next_slot=(state.next_slot + n_ins.astype(jnp.int32)) % MAP_CAP,
-        lost=lost, n_tracked=n_match.astype(jnp.int32),
+        lost=lost, implaus_streak=implaus_streak,
+        n_tracked=n_match.astype(jnp.int32),
         frames=state.frames + 1,
         kf_pos=kf_pos, kf_quat=kf_quat, kf_valid=kf_valid,
         kf_ptr=state.kf_ptr + jnp.where(push, 1, 0),
         kf_obs_slot=kf_obs_slot, kf_obs_uv=kf_obs_uv, kf_obs_z=kf_obs_z,
         kf_obs_valid=kf_obs_valid,
         last_kf_pos=jnp.where(push, pos_new, state.last_kf_pos))
-    return new_state, ~lost
+    aux = VioAux(
+        n_desc=n_desc.astype(jnp.int32),
+        n_match=n_match.astype(jnp.int32),
+        n_ins=n_ins.astype(jnp.int32),
+        flags=(enough.astype(jnp.int32)
+               | (finite.astype(jnp.int32) << 1)
+               | (plausible.astype(jnp.int32) << 2)
+               | (lost.astype(jnp.int32) << 3)
+               | (reloc.astype(jnp.int32) << 4)))
+    return new_state, ~lost, aux
 
 
 def emit_slam_pose(state: VioState, cam: CameraConfig):
@@ -366,7 +455,19 @@ def local_ba(state: VioState, cam: CameraConfig, cfg: VioConfig) -> VioState:
 
     finite = (jnp.isfinite(res.kf_pos).all() & jnp.isfinite(res.kf_quat).all()
               & jnp.isfinite(res.points).all())
-    enough = (obs_w.sum() >= 12) & (state.kf_valid.sum() >= 3) & finite
+    # sanity gate on the correction magnitude: an ill-conditioned window
+    # (collapsed geometry, aliased observations) can yield a finite but
+    # wildly wrong solution; writing it back teleports the pose/map and the
+    # tracker's plausibility gate then rejects every subsequent frame.
+    # ORB-SLAM3's g2o window is better conditioned (covisibility factors);
+    # ours must bound the trust region instead.
+    d_kf = jnp.linalg.norm(res.kf_pos - kf_pos, axis=-1).max()
+    wb_pt = obs_w.sum(0) >= 2          # only these points get written back
+    d_pt = jnp.where(wb_pt, jnp.linalg.norm(res.points - pts0, axis=-1),
+                     0.0).max()
+    sane = (d_kf <= 0.5) & (d_pt <= 1.0)
+    enough = (obs_w.sum() >= 12) & (state.kf_valid.sum() >= 3) & finite \
+        & sane & (~state.lost)
 
     # write back: keyframes (undo the chronological reorder)
     inv = jnp.argsort(order)
@@ -381,7 +482,7 @@ def local_ba(state: VioState, cam: CameraConfig, cfg: VioConfig) -> VioState:
     q_new = q_new / jnp.linalg.norm(q_new)
 
     # map write-back for window points
-    valid_pt = obs_w.sum(0) >= 2  # seen by >= 2 KFs
+    valid_pt = wb_pt              # seen by >= 2 KFs
     map_xyz = state.map_xyz.at[slots].set(
         jnp.where((valid_pt & enough)[:, None], res.points,
                   state.map_xyz[slots]))

@@ -93,15 +93,19 @@ def test_live_click_to_drive(live_server):
 
 def test_live_stop_pauses(live_server):
     _post("/ctl", {"cmd": "stop"})
-    # let any in-flight chunk land, then the tick counter must hold still
-    deadline = time.time() + 60
-    t1 = json.loads(_get("/state.json"))["tick"]
+    # the server flips state.json "paused" only once the drive loop has
+    # parked between chunks (an in-flight chunk may land first); from that
+    # point the tick counter must hold still
+    deadline = time.time() + 240
+    s = json.loads(_get("/state.json"))
     while time.time() < deadline:
-        time.sleep(4)
-        t2 = json.loads(_get("/state.json"))["tick"]
-        if t2 == t1:
+        s = json.loads(_get("/state.json"))
+        if s.get("paused") or not s.get("running", True):
             break
-        t1 = t2
+        time.sleep(2)
+    assert s.get("paused") or not s.get("running", True), \
+        "server never parked after STOP"
+    t1 = s["tick"]
     time.sleep(4)
     t3 = json.loads(_get("/state.json"))["tick"]
     _post("/ctl", {"cmd": "go"})

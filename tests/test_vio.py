@@ -78,7 +78,7 @@ def vio_drive():
         CFG.sim))
     iblk = jax.jit(lambda s, p, q, k: imu_block(s, p, q, 1 / 200.0, k, CFG.imu))
     vstep = jax.jit(lambda st, o, m: vio_frame(
-        st, o, m, 0.1, GRAVITY, CFG.camera, CFG.vio, True))
+        st, o, m, 0.1, GRAVITY, CFG.camera, CFG.vio, True)[:2])
 
     robot = init_robot(0.0, 0.0, 0.0)
     imu = init_imu(jax.random.PRNGKey(0), CFG.imu)
