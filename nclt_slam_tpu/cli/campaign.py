@@ -159,7 +159,9 @@ def main(argv=None):
         regime=np.asarray(tr.regime), anchor_ok=np.asarray(tr.anchor_ok),
         wp_idx=np.asarray(tr.wp_idx), done=np.asarray(tr.done),
         fired=np.asarray(tr.fired), wps=np.asarray(wps),
-        n_wps=np.asarray(n_wps), names=np.array(list(data.names)))
+        n_wps=np.asarray(n_wps), names=np.array(list(data.names)),
+        vio_tracked=np.asarray(tr.vio_tracked),
+        vio_flags=np.asarray(tr.vio_flags))
     print(f"(traces -> {_P(args.out) / 'traces.npz'})")
 
     if args.figures:

@@ -149,7 +149,12 @@ class LandmarkConfig:
 
     # recorder
     record_min_disp_m: float = 2.0     # new landmark every >= 2 m of camera travel
-    max_landmarks: int = 256           # fixed-capacity landmark store
+    # fixed-capacity landmark store.  Must cover the longest teach run:
+    # 03_south's out-and-back is ~530 m -> ~265 landmarks at the 2 m
+    # trigger; at 256 the recorder silently stopped mid-return-leg and the
+    # repeat's return had no anchor candidates at all (reference uses an
+    # unbounded python list, recorder.py:290-297; we need a static cap).
+    max_landmarks: int = 384
     feats_per_landmark: int = 96       # fixed per-landmark feature cap
     ground_v_threshold: float = 180.0  # below-horizon pixel gate (recorder v>180)
     depth_patch_std_max: float = 0.30  # 3x3 depth std gate [m]
@@ -166,6 +171,14 @@ class LandmarkConfig:
     ransac_reproj_px: float = 3.0
     ransac_iterations: int = 200
     consistency_m: float = 5.0
+    # anchor-drought relaxation of the consistency gate: the 5 m gate
+    # assumes nav error stays small between anchors (true for the
+    # reference's absolute-compass encoder); under a drifting compass an
+    # uncorrected stretch can push nav error past 5 m, after which every
+    # CORRECT anchor is rejected as inconsistent — a death spiral.  Widen
+    # the gate by relax_per_s * seconds-since-last-anchor, capped.
+    consistency_relax_per_s: float = 0.05
+    consistency_relax_max_m: float = 10.0
     tick_period: int = 5               # 2 Hz at 10 Hz nav rate
     # covariance model (matcher.py:399-410)
     std_good: float = 0.05

@@ -143,8 +143,15 @@ def ransac_pose(p3d_teach, uv_live, p3d_live, pair_valid, key,
 
 def match_tick(store: LandmarkStore, obs: Observation, vio_xy, vio_heading,
                base_pos_vio, key, cam: CameraConfig,
-               cfg: LandmarkConfig) -> AnchorResult:
-    """One 2 Hz anchor attempt."""
+               cfg: LandmarkConfig,
+               consistency_extra_m=0.0) -> AnchorResult:
+    """One 2 Hz anchor attempt.
+
+    ``consistency_extra_m`` widens the anchor-vs-nav consistency gate —
+    the caller scales it with anchor drought so a long-uncorrected drift
+    cannot permanently reject every (correct) anchor (the death spiral the
+    reference's exp-58 dormant-landmark accumulator chased,
+    visual_landmark_matcher.py:78-89)."""
     L = cfg.max_landmarks
     lm_valid = jnp.arange(L) < store.count
 
@@ -204,9 +211,9 @@ def match_tick(store: LandmarkStore, obs: Observation, vio_xy, vio_heading,
     by = cam_world[1] - cam.cam_offset_fwd * jnp.sin(vio_heading)
     anchor_xy = jnp.stack([bx, by])
 
-    # consistency gate vs VIO (5 m)
+    # consistency gate vs VIO (5 m base, drought-widened by the caller)
     cons_d = jnp.linalg.norm(anchor_xy - vio_xy)
-    consistent = cons_d <= cfg.consistency_m
+    consistent = cons_d <= cfg.consistency_m + consistency_extra_m
     published = best_ok & consistent
 
     # covariance model (matcher:399-410)

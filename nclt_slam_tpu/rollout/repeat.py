@@ -168,10 +168,16 @@ def repeat_step(carry: RepeatCarry, tick, scene: PackedScene,
             #                            matcher reading /tmp/isaac_pose.txt
 
             def try_anchor(f):
+                # drought-scaled consistency relaxation (see LandmarkConfig)
+                drought_s = jnp.maximum(
+                    tick - f.anchor_tick, 0).astype(jnp.float32) * 0.1
+                extra = jnp.minimum(
+                    cfg.landmarks.consistency_relax_per_s * drought_s,
+                    cfg.landmarks.consistency_relax_max_m)
                 res = match_tick(
                     store, obs, vio_nav[:2], vio_nav[2],
                     jnp.array([vio_nav[0], vio_nav[1], 0.0]), k_match,
-                    cfg.camera, cfg.landmarks)
+                    cfg.camera, cfg.landmarks, consistency_extra_m=extra)
                 f2 = anchor_update(f, res.xy, res.std, tick, cfg.fusion)
                 f2 = jax.tree_util.tree_map(
                     lambda new, old: jnp.where(res.ok, new, old), f2, f)

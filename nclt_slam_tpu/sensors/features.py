@@ -143,15 +143,17 @@ def observe(base_pos, yaw, feats: SceneFeatures, obs_valid_now,
     # false-match population the RANSAC gates are tuned against.
 
     # selection: keep the max_obs nearest visible features (deterministic);
-    # pad with invalid slots when the scene has fewer features than the cap
+    # pad with invalid slots when the scene has fewer features than the cap.
+    # top_k instead of a full argsort: S is ~14k once the ground-texture
+    # field is in and this runs every tick on every route.
     score = jnp.where(vis, dist, jnp.inf)
     K = cfg.max_obs_features
     S = score.shape[0]
-    order = jnp.argsort(score)
     if S >= K:
-        idx = order[:K]
-        sel_valid = jnp.isfinite(score[idx])
+        neg, idx = jax.lax.top_k(-score, K)
+        sel_valid = jnp.isfinite(neg)
     else:
+        order = jnp.argsort(score)
         idx = jnp.concatenate([order, jnp.zeros(K - S, order.dtype)])
         sel_valid = jnp.concatenate(
             [jnp.isfinite(score[order]), jnp.zeros(K - S, bool)])

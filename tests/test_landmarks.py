@@ -10,6 +10,7 @@ from nclt_slam_tpu.landmarks import (
     R_NO_CANDIDATES,
     R_PUBLISHED,
     init_store,
+    R_CONSISTENCY_FAIL,
     match_tick,
     record_tick,
 )
@@ -133,3 +134,34 @@ def test_matcher_no_candidates_far_away(forest_strip):
                      CFG.camera, CFG.landmarks)
     assert not bool(res.ok)
     assert int(res.reason) == R_NO_CANDIDATES
+
+
+def test_consistency_gate_drought_relaxation(forest_strip):
+    """A correct anchor ~6.5 m from the believed nav pose is rejected by the
+    5 m consistency gate (matcher.py:75,388-397 behavior), but accepted once
+    the caller widens the gate for anchor drought."""
+    feats, ov = forest_strip
+    store = init_store(CFG.landmarks)
+    rec = jax.jit(lambda s, o, p, y: record_tick(s, o, p, y, CFG.camera,
+                                                 CFG.landmarks))
+    for i, x in enumerate(np.arange(0.0, 40.0, 0.5)):
+        obs = obs_at(feats, ov, float(x), 0.0, 0.0, seed=i)
+        cam_p, _ = camera_pose(jnp.array([x, 0.0, 0.5]), jnp.float32(0.0),
+                               CFG.camera)
+        store = rec(store, obs, cam_p, jnp.float32(0.0))
+
+    true_xy = (20.4, 0.3)
+    believed = jnp.array([26.5, 2.0])     # ~6.4 m nav error
+    obs = obs_at(feats, ov, *true_xy, 0.0, seed=99)
+    res = match_tick(store, obs, believed, jnp.float32(0.0),
+                     jnp.array([26.5, 2.0, 0.5]), jax.random.PRNGKey(7),
+                     CFG.camera, CFG.landmarks)
+    assert not bool(res.ok) and int(res.reason) == R_CONSISTENCY_FAIL
+
+    res2 = match_tick(store, obs, believed, jnp.float32(0.0),
+                      jnp.array([26.5, 2.0, 0.5]), jax.random.PRNGKey(7),
+                      CFG.camera, CFG.landmarks, consistency_extra_m=5.0)
+    assert bool(res2.ok)
+    err = np.hypot(float(res2.xy[0]) - true_xy[0],
+                   float(res2.xy[1]) - true_xy[1])
+    assert err < 1.0
