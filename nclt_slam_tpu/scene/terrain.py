@@ -37,6 +37,26 @@ def road_y(x):
     return jnp.interp(jnp.asarray(x, jnp.float32), _ROAD_X, _ROAD_Y)
 
 
+def _terrain_height_impl(x, y, xp):
+    """Backend-parameterized terrain formula (xp = jnp for traced/device
+    use, np for the eager texture bake — one formula, no drift)."""
+    h = 0.5 * xp.sin(x * 0.018 + 0.5) * xp.cos(y * 0.022 + 1.2)
+    h += 0.35 * xp.sin(x * 0.035 + 2.1) * xp.sin(y * 0.03 + 0.7)
+    h += 0.18 * xp.sin(x * 0.07 + 3.3) * xp.cos(y * 0.065 + 2.5)
+    h += 0.12 * xp.cos(x * 0.11 + 1.0) * xp.sin(y * 0.09 + 4.0)
+    h += 0.06 * xp.sin(x * 0.5 + 0.7) * xp.cos(y * 0.43 + 2.1)
+    h += 0.04 * xp.cos(x * 0.7 + 3.5) * xp.sin(y * 0.6 + 0.4)
+    h += 0.03 * xp.sin(x * 1.0 + 1.2) * xp.cos(y * 0.83 + 3.8)
+
+    road = xp.interp(x, ROAD_WPS[:, 0] if xp is np else _ROAD_X,
+                     ROAD_WPS[:, 1] if xp is np else _ROAD_Y)
+    road_dist = xp.abs(y - road)
+    flatten = xp.where(road_dist < 4.0, (road_dist / 4.0) ** 2, 1.0)
+    h = h * flatten
+    h = h - xp.where(road_dist < 2.0, 0.06 * (1.0 - road_dist / 2.0), 0.0)
+    return xp.maximum(h, -0.5)
+
+
 def terrain_height(x, y):
     """Closed-form terrain height, vectorized over any batch shape.
 
@@ -46,19 +66,7 @@ def terrain_height(x, y):
     """
     x = jnp.asarray(x, jnp.float32)
     y = jnp.asarray(y, jnp.float32)
-    h = 0.5 * jnp.sin(x * 0.018 + 0.5) * jnp.cos(y * 0.022 + 1.2)
-    h += 0.35 * jnp.sin(x * 0.035 + 2.1) * jnp.sin(y * 0.03 + 0.7)
-    h += 0.18 * jnp.sin(x * 0.07 + 3.3) * jnp.cos(y * 0.065 + 2.5)
-    h += 0.12 * jnp.cos(x * 0.11 + 1.0) * jnp.sin(y * 0.09 + 4.0)
-    h += 0.06 * jnp.sin(x * 0.5 + 0.7) * jnp.cos(y * 0.43 + 2.1)
-    h += 0.04 * jnp.cos(x * 0.7 + 3.5) * jnp.sin(y * 0.6 + 0.4)
-    h += 0.03 * jnp.sin(x * 1.0 + 1.2) * jnp.cos(y * 0.83 + 3.8)
-
-    road_dist = jnp.abs(y - road_y(x))
-    flatten = jnp.where(road_dist < 4.0, (road_dist / 4.0) ** 2, 1.0)
-    h = h * flatten
-    h = h - jnp.where(road_dist < 2.0, 0.06 * (1.0 - road_dist / 2.0), 0.0)
-    return jnp.maximum(h, -0.5)
+    return _terrain_height_impl(x, y, jnp)
 
 
 def terrain_normal(x, y, eps: float = 0.2):
@@ -82,3 +90,54 @@ def terrain_pitch_roll(x, y, yaw, eps: float = 0.3):
     pitch = jnp.arctan2(-(h_fwd - h0), eps)   # nose-up positive
     roll = jnp.arctan2(h_lat - h0, eps)
     return pitch, roll
+
+
+# ---- baked bilinear terrain texture (raycaster fast path) ----
+#
+# The analytic field costs ~14 transcendentals + a 36-knot road interp per
+# query; the depth raycaster issues ~2.3M queries per 15-route render call
+# and profiles as ~78 % of the whole repeat tick.  The terrain is globally
+# static, so the raycaster samples a baked grid instead: 0.25 m bilinear
+# resolution keeps the error far below the depth sensor's own noise floor
+# (see test_scene.py::test_terrain_tex_matches_analytic).  Dynamics and the
+# drift-sensitive pose math keep the exact analytic field.
+
+TEX_RES = 0.25
+TEX_X0, TEX_Y0 = -140.0, -100.0
+TEX_NX, TEX_NY = 1121, 801            # covers x in [-140, 140], y in [-100, 100]
+
+_TEX_CACHE = None
+
+
+def terrain_tex() -> np.ndarray:
+    """Baked (TEX_NY, TEX_NX) float32 height grid (built once, on CPU)."""
+    global _TEX_CACHE
+    if _TEX_CACHE is None:
+        xs = TEX_X0 + TEX_RES * np.arange(TEX_NX, dtype=np.float32)
+        ys = TEX_Y0 + TEX_RES * np.arange(TEX_NY, dtype=np.float32)
+        gx, gy = np.meshgrid(xs, ys)
+        # pure-numpy bake: safe to trigger lazily even inside a jax trace
+        _TEX_CACHE = _terrain_height_impl(
+            gx.astype(np.float32), gy.astype(np.float32), np
+        ).astype(np.float32)
+    return _TEX_CACHE
+
+
+def terrain_height_tex(x, y):
+    """Bilinear sample of the baked grid (coordinates clamped to its
+    bounds).  Drop-in for ``terrain_height`` inside the raycaster."""
+    tex = jnp.asarray(terrain_tex())
+    fx = jnp.clip((jnp.asarray(x, jnp.float32) - TEX_X0) / TEX_RES,
+                  0.0, TEX_NX - 1.001)
+    fy = jnp.clip((jnp.asarray(y, jnp.float32) - TEX_Y0) / TEX_RES,
+                  0.0, TEX_NY - 1.001)
+    ix = fx.astype(jnp.int32)
+    iy = fy.astype(jnp.int32)
+    ax = fx - ix
+    ay = fy - iy
+    h00 = tex[iy, ix]
+    h01 = tex[iy, ix + 1]
+    h10 = tex[iy + 1, ix]
+    h11 = tex[iy + 1, ix + 1]
+    return (h00 * (1 - ax) * (1 - ay) + h01 * ax * (1 - ay)
+            + h10 * (1 - ax) * ay + h11 * ax * ay)

@@ -92,13 +92,18 @@ def _terrain_hit(origin, dirs_w, cfg: CameraConfig):
                      jnp.clip(t_ex, cfg.depth_min, cfg.depth_max))
     t_hi = jnp.maximum(t_hi, t_lo)
 
+    # baked-texture fast path (CameraConfig.ray_terrain_tex): bilinear
+    # gathers replace the analytic transcendentals in the march
+    from nclt_slam_tpu.scene.terrain import terrain_height_tex
+    h_fn = terrain_height_tex if cfg.ray_terrain_tex else terrain_height
+
     def first_below(t0, step, n):
         """March n samples at t0 + step*(k+0.5); return (hit, k_first)."""
         ks = jnp.arange(n, dtype=jnp.float32) + 0.5
         ts = t0[None] + step[None] * ks.reshape((n,) + (1,) * t0.ndim)
         pts = origin + ts[..., None] * jnp.broadcast_to(
             dirs_w, ts.shape + (3,))
-        below = pts[..., 2] < terrain_height(pts[..., 0], pts[..., 1])
+        below = pts[..., 2] < h_fn(pts[..., 0], pts[..., 1])
         # a zero-length interval (no band overlap) never hits
         below = below & (step[None] > 0)
         return jnp.any(below, axis=0), jnp.argmax(below, axis=0)

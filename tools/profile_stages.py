@@ -143,7 +143,7 @@ def main():
 
     def vio_scan(c):
         def body(v, t):
-            v, ok = jax.vmap(
+            v, ok, _aux = jax.vmap(
                 lambda vi, o, m: vio_frame(
                     vi, o, m, cfg.sim.nav_decimation / cfg.sim.physics_hz,
                     GRAVITY, cfg.camera, cfg.vio, True))(v, obs0, imu_meas0)
