@@ -66,10 +66,12 @@ class CameraConfig:
     ray_rows: int = 60
     ray_steps: int = 96                # fixed ray-march steps
     # sample the baked bilinear terrain texture in the ray march instead of
-    # the analytic sine field (~14 transcendentals + 36-knot road interp per
-    # query; the march issues ~2.3M queries per 15-route render and
-    # dominates the tick).  Error < 1 cm — below the depth noise floor.
-    ray_terrain_tex: bool = True
+    # the analytic field.  With the gather-free hat-sum road_y the analytic
+    # field costs ~7 ms per 15-route render vs ~95 ms for texture gathers
+    # (TPU gathers are the bottleneck, not transcendentals) — so the exact
+    # analytic field is both faster AND error-free.  Kept as an option for
+    # future irregular (non-closed-form) terrains.
+    ray_terrain_tex: bool = False
     # base_link -> camera extrinsics (visual_landmark_recorder.py:81-88)
     cam_offset_fwd: float = 0.35
     cam_offset_up: float = 0.18

@@ -32,9 +32,26 @@ _ROAD_X = jnp.asarray(ROAD_WPS[:, 0])
 _ROAD_Y = jnp.asarray(ROAD_WPS[:, 1])
 
 
+_ROAD_DX = 5.0  # ROAD_WPS x-knots are uniform; checked below
+assert np.allclose(np.diff(ROAD_WPS[:, 0]), _ROAD_DX)
+
+
 def road_y(x):
-    """Piecewise-linear road centreline y(x), clamped at the ends."""
-    return jnp.interp(jnp.asarray(x, jnp.float32), _ROAD_X, _ROAD_Y)
+    """Piecewise-linear road centreline y(x), clamped at the ends.
+
+    Implemented as an exact hat-function (linear B-spline) sum over the
+    uniformly spaced knots instead of ``jnp.interp``: interp lowers to a
+    gather-based searchsorted which measured ~170 ms per 15-route raycast
+    (2.3M samples) on TPU — ~50x the cost of the 7-octave sine field.  The
+    unrolled 36-term clip/fma chain is pure element-wise VPU work that XLA
+    fuses into the surrounding march."""
+    x = jnp.asarray(x, jnp.float32)
+    xc = jnp.clip(x, float(ROAD_WPS[0, 0]), float(ROAD_WPS[-1, 0]))
+    y = jnp.zeros_like(xc)
+    for xk, yk in ROAD_WPS:
+        w = jnp.clip(1.0 - jnp.abs(xc - float(xk)) / _ROAD_DX, 0.0, 1.0)
+        y = y + w * float(yk)
+    return y
 
 
 def _terrain_height_impl(x, y, xp):
@@ -48,8 +65,9 @@ def _terrain_height_impl(x, y, xp):
     h += 0.04 * xp.cos(x * 0.7 + 3.5) * xp.sin(y * 0.6 + 0.4)
     h += 0.03 * xp.sin(x * 1.0 + 1.2) * xp.cos(y * 0.83 + 3.8)
 
-    road = xp.interp(x, ROAD_WPS[:, 0] if xp is np else _ROAD_X,
-                     ROAD_WPS[:, 1] if xp is np else _ROAD_Y)
+    # numpy bake path: plain interp; jnp path: gather-free hat-sum road_y
+    road = np.interp(x, ROAD_WPS[:, 0], ROAD_WPS[:, 1]) if xp is np \
+        else road_y(x)
     road_dist = xp.abs(y - road)
     flatten = xp.where(road_dist < 4.0, (road_dist / 4.0) ** 2, 1.0)
     h = h * flatten

@@ -97,3 +97,17 @@ def test_terrain_tex_matches_analytic():
     # spikes; p99 is ~0.005 cm.  Depth sensor noise at 2 m is already 1.2 cm.
     assert err.max() < 0.02, f"max tex err {err.max()*100:.2f} cm"
     assert np.percentile(err, 99) < 0.002
+
+
+def test_road_y_hat_sum_matches_interp():
+    """The gather-free hat-function road_y equals np.interp exactly on the
+    uniform knot grid (same piecewise-linear function)."""
+    import numpy as np
+
+    from nclt_slam_tpu.scene.terrain import ROAD_WPS, road_y
+
+    x = np.linspace(-120, 95, 4001).astype(np.float32)
+    a = np.interp(np.clip(x, ROAD_WPS[0, 0], ROAD_WPS[-1, 0]),
+                  ROAD_WPS[:, 0], ROAD_WPS[:, 1])
+    b = np.asarray(road_y(x))
+    np.testing.assert_allclose(b, a, atol=2e-5)
