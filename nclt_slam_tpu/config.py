@@ -244,9 +244,16 @@ class PlannerConfig:
     path_len: int = 256                # fixed extracted-path length
     wp_spacing_m: float = 4.0          # teach WP subsample (send_goals --spacing)
     tolerance_m: float = 3.0           # WP reached tolerance
+    # path-commitment window: a good plan is replaced only when the target
+    # changes or the committed path is older than this (the reference's 5 s
+    # replan loop, send_goals_hybrid :287-345, vs its 2 Hz costmap)
     replan_period: int = 50            # 5 s at 10 Hz
     goal_timeout_ticks: int = 600      # 60 s per WP
-    max_plan_fails: int = 5
+    # plan attempts run at the 2 Hz costmap cadence; the reference's
+    # skip-after-failures budget is measured against its 0.2 Hz replan
+    # loop, so the equivalent count here is ~10x larger (12.5 s of
+    # continuous planner failure before a skip)
+    max_plan_fails: int = 25
     final_wp_count: int = 5            # last-5 never-skip policy
     proj_cost_thresh: float = 30.0
     proj_max_search_m: float = 3.0

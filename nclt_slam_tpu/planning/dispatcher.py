@@ -39,6 +39,8 @@ class DispatchState(NamedTuple):
     n_path: jax.Array         # () int32
     has_path: jax.Array       # () bool
     plan_version: jax.Array   # () int32 — bumps when a new path is accepted
+    plan_tick: jax.Array      # () int32 — tick of the last accepted path
+    planned_target: jax.Array  # (2,) target of the last accepted path
     reached_count: jax.Array  # () int32
     skipped_count: jax.Array  # () int32
     done: jax.Array           # () bool — all WPs consumed
@@ -140,6 +142,8 @@ def init_dispatch(wps, n_wps, cfg: PlannerConfig) -> DispatchState:
         n_path=jnp.int32(0),
         has_path=jnp.array(False),
         plan_version=jnp.int32(0),
+        plan_tick=jnp.int32(-10 ** 6),
+        planned_target=jnp.full(2, jnp.float32(1e9)),
         reached_count=jnp.int32(0),
         skipped_count=jnp.int32(0),
         done=jnp.array(False),
@@ -242,9 +246,17 @@ def too_close_to_known(xy, known_xy, known_r, known_active,
 
 def dispatch_plan(state: DispatchState, robot_xy, cost_win, win_r0, win_c0,
                   known_xy, known_r, known_active,
-                  map_cfg: MapConfig, cfg: PlannerConfig) -> DispatchState:
+                  map_cfg: MapConfig, cfg: PlannerConfig,
+                  tick=0) -> DispatchState:
     """Heavy phase — run at a uniform cadence (costmap update ticks):
-    reproject WPs, pick target (WP or detour), run the wavefront planner."""
+    reproject WPs, pick target (WP or detour), run the wavefront planner.
+
+    Path COMMITMENT: a good new plan replaces the committed path only when
+    the target changed, the committed path is older than ``replan_period``,
+    or there is no path yet.  The reference gets this for free from its
+    5 s replan loop (send_goals follow_waypoint) vs the 2 Hz costmap; at a
+    2 Hz replan rate without commitment, homotopy flips around obstacle
+    clusters thrash the follower into place-oscillation."""
     if cfg.enable_projection:
         state = project_waypoints(state, cost_win, win_r0, win_c0, map_cfg, cfg)
 
@@ -277,13 +289,20 @@ def dispatch_plan(state: DispatchState, robot_xy, cost_win, win_r0, win_c0,
     plan = plan_world(cost_win, win_r0, win_c0, robot_xy, target, map_cfg, cfg)
     plan_good = plan.ok & (plan.n_path > 1)
 
+    # path-commitment acceptance gate
+    target_changed = jnp.linalg.norm(target - state.planned_target) > 0.5
+    stale = (tick - state.plan_tick) >= cfg.replan_period
+    accept = plan_good & (target_changed | stale | (~state.has_path))
+
     return state._replace(
         target=target,
         skip=skip,
-        path_xy=jnp.where(plan_good, plan.path_xy, state.path_xy),
-        n_path=jnp.where(plan_good, plan.n_path, state.n_path),
-        has_path=plan_good | state.has_path,
-        plan_version=state.plan_version + jnp.where(plan_good, 1, 0),
+        path_xy=jnp.where(accept, plan.path_xy, state.path_xy),
+        n_path=jnp.where(accept, plan.n_path, state.n_path),
+        has_path=accept | state.has_path,
+        plan_version=state.plan_version + jnp.where(accept, 1, 0),
+        plan_tick=jnp.where(accept, tick, state.plan_tick),
+        planned_target=jnp.where(accept, target, state.planned_target),
         plan_fails=jnp.where(plan_good, 0, state.plan_fails + 1),
     )
 

@@ -195,9 +195,13 @@ def repeat_step(carry: RepeatCarry, tick, scene: PackedScene,
             slam_ok, tick, k_fuse, cfg.encoder, cfg.fusion)
         nav_xy = jnp.stack([nav_x, nav_y])
 
-    # --- sensing + costmap + plan at 2 Hz ---
-    def update_costmap(args):
-        grid_live, dispatch = args
+    # --- sensing + costmap at 2 Hz; replanning at its own (slower)
+    # cadence.  The reference's costmap updates at 2 Hz but the dispatcher
+    # only replans every 5 s (send_goals_hybrid follow_waypoint): coupling
+    # them made plan_fails/skip policies 10x tighter than the reference's
+    # and let 2 Hz homotopy flips (around obstacle clusters) thrash the
+    # follower into place-oscillation.
+    def update_costmap(grid_live):
         # the camera senses reality (true pose) ...
         depth, _, dvalid = render_depth(
             pos3, robot.yaw, scene.xy, scene.radius, scene.base_z,
@@ -216,20 +220,20 @@ def repeat_step(carry: RepeatCarry, tick, scene: PackedScene,
         r, c = world_to_cell(nav_xy[0], nav_xy[1], cfg.map)
         occ_win, r0, c0 = crop_window(combined, r, c, cfg.planner.window)
         cost_win = inflate_cost(occ_win, cfg.map)
-        dispatch = dispatch_plan(dispatch, nav_xy, cost_win, r0, c0,
-                                 scene.xy, scene.radius,
-                                 scene.drop_mask & valid_now,
-                                 cfg.map, cfg.planner)
-        return grid_live, dispatch, cost_win, r0, c0
+        return grid_live, cost_win, r0, c0
 
-    def keep_costmap(args):
-        grid_live, dispatch = args
-        return (grid_live, dispatch, carry.cost_win, carry.win_r0,
-                carry.win_c0)
+    grid_live, cost_win, win_r0, win_c0 = jax.lax.cond(
+        tick % cfg.map.update_period == 0, update_costmap,
+        lambda g: (g, carry.cost_win, carry.win_r0, carry.win_c0),
+        carry.grid_live)
 
-    grid_live, dispatch, cost_win, win_r0, win_c0 = jax.lax.cond(
-        tick % cfg.map.update_period == 0, update_costmap, keep_costmap,
-        (carry.grid_live, carry.dispatch))
+    dispatch = jax.lax.cond(
+        tick % cfg.map.update_period == 0,
+        lambda d: dispatch_plan(d, nav_xy, cost_win, win_r0, win_c0,
+                                scene.xy, scene.radius,
+                                scene.drop_mask & valid_now,
+                                cfg.map, cfg.planner, tick),
+        lambda d: d, carry.dispatch)
 
     # --- dispatcher cheap phase ---
     dispatch = dispatch_move(dispatch, nav_xy, scene.xy, scene.radius,
