@@ -41,7 +41,11 @@ R_CONSISTENCY_FAIL = 4
 
 
 def _kabsch(P, Q, w):
-    """Weighted rigid alignment R,t with R @ P + t ~= Q.  P,Q (N,3), w (N,).
+    """Weighted rigid alignment R,t with R @ P + t ~= Q.
+    P, Q (..., N, 3), w (..., N); leading batch dims supported and computed
+    as one batched program (a vmapped per-hypothesis form keeps the sample
+    gather fused inside each lane and measured ~7x slower on TPU for the
+    200-hypothesis RANSAC batch).
 
     Horn's quaternion method with power iteration instead of SVD: XLA lowers
     tiny SVDs to an iterative decomposition that is catastrophically slow on
@@ -49,39 +53,51 @@ def _kabsch(P, Q, w):
     fixed-count power iteration is pure fused arithmetic."""
     from nclt_slam_tpu.core.quat import quat_to_mat
 
-    wsum = jnp.maximum(w.sum(), 1e-6)
-    mp = (P * w[:, None]).sum(0) / wsum
-    mq = (Q * w[:, None]).sum(0) / wsum
-    H = ((P - mp) * w[:, None]).T @ (Q - mq)    # (3, 3) correlation
+    w = w[..., None]
+    wsum = jnp.maximum(w.sum(-2, keepdims=True), 1e-6)
+    mp = (P * w).sum(-2, keepdims=True) / wsum        # (..., 1, 3)
+    mq = (Q * w).sum(-2, keepdims=True) / wsum
+    H = jnp.einsum("...ni,...nj->...ij", (P - mp) * w, Q - mq)  # (..., 3, 3)
 
-    # Horn's N matrix (quaternion order w, x, y, z)
-    sxx, sxy, sxz = H[0, 0], H[0, 1], H[0, 2]
-    syx, syy, syz = H[1, 0], H[1, 1], H[1, 2]
-    szx, szy, szz = H[2, 0], H[2, 1], H[2, 2]
-    N = jnp.array([
-        [sxx + syy + szz, syz - szy, szx - sxz, sxy - syx],
-        [syz - szy, sxx - syy - szz, sxy + syx, szx + sxz],
-        [szx - sxz, sxy + syx, -sxx + syy - szz, syz + szy],
-        [sxy - syx, szx + sxz, syz + szy, -sxx - syy + szz],
-    ])
+    # Horn's N matrix (quaternion order w, x, y, z), kept as a 4x4 python
+    # grid of BATCH-shaped scalars.  A stacked (..., 4, 4) array would put
+    # the size-4 dims on the TPU tile's (8, 128) minor axes — ~32x lane
+    # waste replicated across every power-iteration step; as (batch,)
+    # element-wise ops the 4x4 algebra is fully unrolled and fully packed.
+    sxx, sxy, sxz = H[..., 0, 0], H[..., 0, 1], H[..., 0, 2]
+    syx, syy, syz = H[..., 1, 0], H[..., 1, 1], H[..., 1, 2]
+    szx, szy, szz = H[..., 2, 0], H[..., 2, 1], H[..., 2, 2]
     # shift so the (possibly negative-spectrum) max eigenvalue dominates
-    shift = 2.0 * jnp.sqrt((H * H).sum()) + 1e-6
-    N = N + shift * jnp.eye(4)
+    shift = 2.0 * jnp.sqrt((H * H).sum((-2, -1))) + 1e-6
+    Nm = [
+        [sxx + syy + szz + shift, syz - szy, szx - sxz, sxy - syx],
+        [syz - szy, sxx - syy - szz + shift, sxy + syx, szx + sxz],
+        [szx - sxz, sxy + syx, -sxx + syy - szz + shift, syz + szy],
+        [sxy - syx, szx + sxz, syz + szy, -sxx - syy + szz + shift],
+    ]
 
     # power iteration from all 4 basis starts (a single start can be nearly
     # orthogonal to the dominant eigenvector, e.g. ~180° rotations); pick
     # the result with the largest Rayleigh quotient
-    def it(V, _):
-        V = N @ V
-        return V / (jnp.linalg.norm(V, axis=0, keepdims=True) + 1e-12), None
-
-    V0 = jnp.eye(4) + 0.05
-    V, _ = jax.lax.scan(it, V0, None, length=24)
-    rayleigh = jnp.einsum("ik,ij,jk->k", V, N, V)
-    v = V[:, jnp.argmax(rayleigh)]
-    q_xyzw = jnp.array([v[1], v[2], v[3], v[0]])
+    one = jnp.ones_like(shift)
+    V = [[one * (1.05 if i == k else 0.05) for k in range(4)]
+         for i in range(4)]
+    for _ in range(24):
+        V2 = [[sum(Nm[i][j] * V[j][k] for j in range(4)) for k in range(4)]
+              for i in range(4)]
+        for k in range(4):
+            nrm = jnp.sqrt(sum(V2[i][k] ** 2 for i in range(4))) + 1e-12
+            for i in range(4):
+                V[i][k] = V2[i][k] / nrm
+    rayleigh = [
+        sum(V[i][k] * Nm[i][j] * V[j][k] for i in range(4) for j in range(4))
+        for k in range(4)]
+    best = jnp.argmax(jnp.stack(rayleigh, -1), -1)
+    v = [sum(jnp.where(best == k, V[i][k], 0.0) for k in range(4))
+         for i in range(4)]
+    q_xyzw = jnp.stack([v[1], v[2], v[3], v[0]], -1)
     R = quat_to_mat(q_xyzw)
-    t = mq - R @ mp
+    t = mq[..., 0, :] - jnp.einsum("...ij,...j->...i", R, mp[..., 0, :])
     return R, t
 
 
@@ -110,12 +126,9 @@ def ransac_pose(p3d_teach, uv_live, p3d_live, pair_valid, key,
                (j[:, 0] != j[:, 2])
     hyp_ok = distinct & (n_pairs >= 3)
 
-    def solve(ix):
-        P = p3d_teach[ix]
-        Q = p3d_live[ix]
-        return _kabsch(P, Q, jnp.ones(3))
-
-    Rs, ts = jax.vmap(solve)(idx)                     # (H,3,3), (H,3)
+    # one batched gather + one batched Horn solve over all H hypotheses
+    Rs, ts = _kabsch(p3d_teach[idx], p3d_live[idx],
+                     jnp.ones((H, 3)))                # (H,3,3), (H,3)
 
     # score by reprojection of ALL teach points into the live image
     pred = jnp.einsum("hij,fj->hfi", Rs, p3d_teach) + ts[:, None, :]
