@@ -221,6 +221,9 @@ class MapConfig:
     cost_scaling: float = 3.0
     inscribed_radius: float = 0.4      # robot radius: cost=lethal within this
     obstacle_range: float = 8.0
+    # live-update window (cells): the depth integration only touches this
+    # crop around the camera (must cover 2*obstacle_range at `resolution`)
+    live_window: int = 192
     update_period: int = 5             # costmap refresh every 5 nav ticks (2 Hz)
 
     @property

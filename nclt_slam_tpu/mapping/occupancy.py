@@ -57,11 +57,27 @@ def integrate_depth(grid, cam_xy, points_world, points_valid, cfg: MapConfig):
     # rays that hit low ground still clear free space along their length
     clear_mask = val & in_range
 
+    # All evidence lies within obstacle_range (8 m) of the camera, so the
+    # update touches only a live window around it: scatter into a (LW, LW)
+    # crop and dynamic-update it back, instead of materializing a
+    # zeros+add+clip pass over the full ~1.8M-cell grid every costmap tick.
+    LW = min(cfg.live_window, cfg.rows, cfg.cols)
+    r_cam, c_cam = world_to_cell(cam_xy[0], cam_xy[1], cfg)
+    r0 = jnp.clip(r_cam - LW // 2, 0, cfg.rows - LW)
+    c0 = jnp.clip(c_cam - LW // 2, 0, cfg.cols - LW)
+    win = jax.lax.dynamic_slice(grid, (r0, c0), (LW, LW))
+
+    def to_win(r, c):
+        rw, cw = r - r0, c - c0
+        ok = (rw >= 0) & (rw < LW) & (cw >= 0) & (cw < LW)
+        return rw, cw, ok
+
     # endpoint scatter (occupied)
     r_end, c_end = world_to_cell(pts[:, 0], pts[:, 1], cfg)
-    ok_end = occ_mask & in_bounds(r_end, c_end, cfg)
-    idx_end = jnp.where(ok_end, r_end * cfg.cols + c_end, 0)
-    upd = jnp.zeros(cfg.rows * cfg.cols, jnp.float32)
+    rw_e, cw_e, okw_e = to_win(r_end, c_end)
+    ok_end = occ_mask & okw_e
+    idx_end = jnp.where(ok_end, rw_e * LW + cw_e, 0)
+    upd = jnp.zeros(LW * LW, jnp.float32)
     upd = upd.at[idx_end].add(jnp.where(ok_end, cfg.l_occ, 0.0))
 
     # free-space samples strictly before the endpoint
@@ -69,15 +85,16 @@ def integrate_depth(grid, cam_xy, points_world, points_valid, cfg: MapConfig):
     sample_xy = cam_xy[None, None, :] + fr[None, :, None] * (
         pts[:, None, :2] - cam_xy[None, None, :])
     r_s, c_s = world_to_cell(sample_xy[..., 0], sample_xy[..., 1], cfg)
-    ok_s = clear_mask[:, None] & in_bounds(r_s, c_s, cfg)
-    idx_s = jnp.where(ok_s, r_s * cfg.cols + c_s, 0)
+    rw_s, cw_s, okw_s = to_win(r_s, c_s)
+    ok_s = clear_mask[:, None] & okw_s
+    idx_s = jnp.where(ok_s, rw_s * LW + cw_s, 0)
     # normalize so a ray's total free evidence per frame matches the
     # reference's one-hit-per-cell Bresenham semantics
     upd = upd.at[idx_s.reshape(-1)].add(
         jnp.where(ok_s, cfg.l_free * (8.0 / FREE_SAMPLES), 0.0).reshape(-1))
 
-    new = jnp.clip(grid + upd.reshape(cfg.rows, cfg.cols), cfg.l_min, cfg.l_max)
-    return new
+    win = jnp.clip(win + upd.reshape(LW, LW), cfg.l_min, cfg.l_max)
+    return jax.lax.dynamic_update_slice(grid, win, (r0, c0))
 
 
 def occupancy_trinary(grid, cfg: MapConfig):
