@@ -107,9 +107,6 @@ def main(argv=None):
         names = list(data.names)
         print(f"[campaign] repeat slice {args.route_slice}: {names}",
               flush=True)
-    from nclt_slam_tpu.rollout.campaign import apply_stock_projection
-
-    wps, n_wps = apply_stock_projection(teach_grid, wps, n_wps, cfg)
     rep = run_campaign_repeat(data, teach_grid, wps, n_wps, cfg,
                               args.repeat_ticks, stores=stores,
                               progress=prog("repeat"))

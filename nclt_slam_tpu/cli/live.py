@@ -189,6 +189,9 @@ def main(argv=None):
     ap.add_argument("--route", default="03_south")
     ap.add_argument("--mode", default="ours")
     ap.add_argument("--port", type=int, default=8765)
+    ap.add_argument("--host", default="127.0.0.1",
+                    help="bind address; set 0.0.0.0 to expose the control "
+                         "endpoints beyond this machine")
     ap.add_argument("--ticks", type=int, default=12000)
     ap.add_argument("--chunk", type=int, default=50)
     ap.add_argument("--teach-ticks", type=int, default=9000)
@@ -223,9 +226,9 @@ def main(argv=None):
     cfg_teach = config_for("gt", args.scale)
 
     live = LiveState()
-    srv = ThreadingHTTPServer(("0.0.0.0", args.port), _handler(live))
+    srv = ThreadingHTTPServer((args.host, args.port), _handler(live))
     threading.Thread(target=srv.serve_forever, daemon=True).start()
-    print(f"[live] http://localhost:{args.port}  route={args.route} "
+    print(f"[live] http://{args.host}:{args.port}  route={args.route} "
           f"mode={args.mode}", flush=True)
 
     import jax.tree_util as jtu

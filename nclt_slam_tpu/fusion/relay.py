@@ -197,8 +197,11 @@ def _slam_to_nav(state: FusionState, T_slam, slam_quat, slam_t, gt_x, gt_y,
         align_gt0_set=state.align_gt0_set | (~state.committed),
     )
 
-    # output: committed transform if available, else per-tick fallback
-    T_nav = T_nav_slam @ T_slam
+    # output: committed transform if available, else per-tick fallback.
+    # The SLAM body frame is the camera (RDF) frame; right-multiply by the
+    # inverse convention rotation so the body frame is FLU again — without
+    # it the extracted yaw carries the CAM->FLU yaw component (-pi/2).
+    T_nav = T_nav_slam @ T_slam @ jnp.linalg.inv(T_FLU_FROM_CAM)
     nav_c = (T_nav[0, 3], T_nav[1, 3],
              jnp.arctan2(T_nav[1, 0], T_nav[0, 0]))
     fx, fy, fyaw = _tick_alignment(T_slam, gt_x, gt_y, gt_yaw)
@@ -313,16 +316,30 @@ def fusion_tick(state: FusionState, gt_x, gt_y, gt_yaw, slam_t, slam_quat,
     else:
         nav_yaw = enc_yaw
 
-    # ---- jump rejection (JUMP_THRESHOLD 0.5 m / 0.3 rad): a sudden nav
-    # pose jump between ticks → trust the encoder for this tick ----
-    jump = state.have_prev_nav & (
-        (jnp.hypot(nav_x - state.prev_nav[0], nav_y - state.prev_nav[1])
-         > cfg.jump_threshold_m + displacement)
-    )
-    nav_x = jnp.where(jump, ex, nav_x)
-    nav_y = jnp.where(jump, ey, nav_y)
+    # ---- jump rejection (v55:771-797, JUMP_THRESHOLD 0.5 m /
+    # YAW_JUMP_THRESHOLD 0.3 rad).  Measured on the raw aligned-SLAM pose
+    # delta between ticks — a relocalization snap — NOT on the blended
+    # output: position jump → trust the encoder this tick; yaw jump → skip
+    # the SLAM yaw correction this tick (only live under fuse_slam_yaw).
+    # Gated on a committed alignment: pre-commit per-tick fallback poses
+    # churn by construction.  prev_nav holds the last aligned SLAM pose.
+    from nclt_slam_tpu.core.lie import wrap_angle
+
+    gate = state.have_prev_nav & slam_ok & state.committed
+    pos_jump = gate & (
+        jnp.hypot(slam_nx - state.prev_nav[0], slam_ny - state.prev_nav[1])
+        > cfg.jump_threshold_m)
+    yaw_jump = gate & (
+        jnp.abs(wrap_angle(slam_nyaw - state.prev_nav[2]))
+        > cfg.yaw_jump_threshold)
+    nav_x = jnp.where(pos_jump, ex, nav_x)
+    nav_y = jnp.where(pos_jump, ey, nav_y)
+    if cfg.fuse_slam_yaw:
+        nav_yaw = jnp.where(yaw_jump, enc_yaw, nav_yaw)
 
     state = state._replace(
-        prev_nav=jnp.array([nav_x, nav_y, nav_yaw]),
-        have_prev_nav=jnp.array(True))
+        prev_nav=jnp.where(slam_ok & state.committed,
+                           jnp.array([slam_nx, slam_ny, slam_nyaw]),
+                           state.prev_nav),
+        have_prev_nav=state.have_prev_nav | (slam_ok & state.committed))
     return state, nav_x, nav_y, nav_yaw, regime

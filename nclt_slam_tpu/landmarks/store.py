@@ -62,8 +62,9 @@ def record_tick(store: LandmarkStore, obs: Observation, cam_pos, cam_yaw,
     # (0.5-15 m already enforced by the observation model) + the 3x3
     # depth-patch std < 0.30 m gate (recorder :259-269).  Under the stereo
     # noise model the patch std IS the physical depth noise
-    # sigma_z = rel_per_m * z^2, so the gate drops range-noisy points
-    # (z > ~7.7 m) exactly like the reference drops high-variance patches.
+    # sigma_z = rel_per_m * z^2, so with rel=0.003 and the 0.30 m cap the
+    # gate drops range-noisy points (z > 10 m) exactly like the reference
+    # drops high-variance patches.
     F = cfg.feats_per_landmark
     sigma_z = cam.depth_noise_rel_per_m * obs.p3d_cam[:, 2] ** 2
     gate = obs.valid & (obs.uv[:, 1] > cfg.ground_v_threshold) & \

@@ -62,6 +62,12 @@ def integrate_depth(grid, cam_xy, points_world, points_valid, cfg: MapConfig):
     # crop and dynamic-update it back, instead of materializing a
     # zeros+add+clip pass over the full ~1.8M-cell grid every costmap tick.
     LW = min(cfg.live_window, cfg.rows, cfg.cols)
+    # The crop silently drops evidence outside it: it must cover the full
+    # sensing disc (window half-extent >= obstacle_range) or raising
+    # obstacle_range would quietly corrupt the costmap.
+    assert LW * cfg.resolution >= 2.0 * cfg.obstacle_range, (
+        f"live_window {LW} cells x {cfg.resolution} m does not cover "
+        f"2 x obstacle_range ({cfg.obstacle_range} m)")
     r_cam, c_cam = world_to_cell(cam_xy[0], cam_xy[1], cfg)
     r0 = jnp.clip(r_cam - LW // 2, 0, cfg.rows - LW)
     c0 = jnp.clip(c_cam - LW // 2, 0, cfg.cols - LW)

@@ -168,6 +168,11 @@ def run_campaign_repeat(data: CampaignData, teach_grids, wps, n_wps,
                         chunk: int = 250, progress=None) -> RepeatResult:
     """Batched repeat, chunked like run_campaign_teach."""
     chunk = min(chunk, n_ticks)
+    # Stock baseline: the one-time client-side WP projection must run for
+    # every entry point (bench, tests, CLI), not just the campaign CLI —
+    # stock mode has no per-WP timeout, so a lethal-cost WP would block a
+    # route forever.  Idempotent: projected WPs land on free cells.
+    wps, n_wps = apply_stock_projection(teach_grids, wps, n_wps, cfg)
     if stores is None:
         stores = jax.vmap(lambda _: init_store(cfg.landmarks))(
             jnp.arange(wps.shape[0]))

@@ -1,11 +1,15 @@
 """Route registry + offline route generator (layer L8 of the reference).
 
-Re-implements the capability of routes/_common/scripts/generate_routes.py:
-A* over an inflated 0.5 m occupancy grid of the scene colliders, path
-thinning, Chaikin corner-cutting, 0.8 m resampling, and a hairpin turnaround
-arc with a blended offset return leg.  Runs offline in numpy (route
-generation is a build-time tool, not a hot path); outputs are packed to
-fixed-size arrays for the jitted rollout.
+Provides the capability of routes/_common/scripts/generate_routes.py —
+shortest paths over an inflated 0.5 m occupancy grid of the scene colliders,
+decimation + corner rounding + 0.8 m resampling, and a hairpin turnaround
+with a blended offset return leg — but with this repo's own machinery:
+shortest paths come from a vectorized Dijkstra distance-field relaxation
+(the same sweep idiom as planning/wavefront.py) followed by steepest-descent
+backtrace, and all smoothing stages are (N, 2) array transforms rather than
+point-list loops.  Runs offline in numpy (route generation is a build-time
+tool, not a hot path); outputs are packed to fixed-size arrays for the
+jitted rollout.
 
 The spawn/turnaround registry keeps the reference's authoritative per-route
 coordinates (experiments/_baselines_common/route_params.sh,
@@ -14,7 +18,6 @@ compute_metrics.py ROUTE_META) so metrics remain comparable.
 
 from __future__ import annotations
 
-import heapq
 import math
 from typing import NamedTuple
 
@@ -74,7 +77,7 @@ class Route(NamedTuple):
 
 
 # ---------------------------------------------------------------------------
-# occupancy grid + A*
+# occupancy grid + shortest paths (vectorized Dijkstra field + backtrace)
 # ---------------------------------------------------------------------------
 
 def build_grid(scene: SceneColliders) -> np.ndarray:
@@ -93,135 +96,194 @@ def build_grid(scene: SceneColliders) -> np.ndarray:
     return grid
 
 
-def _w2c(x, y):
-    return (int((y - GRID_MIN[1]) / GRID_RES), int((x - GRID_MIN[0]) / GRID_RES))
+_SQRT2 = np.float32(math.sqrt(2.0))
+_INF = np.float32(3.0e8)
+# (drow, dcol, step cost) for the 8-neighborhood, as one structured table.
+_NBR = np.array([(-1, -1, _SQRT2), (-1, 0, 1.0), (-1, 1, _SQRT2),
+                 (0, -1, 1.0), (0, 1, 1.0),
+                 (1, -1, _SQRT2), (1, 0, 1.0), (1, 1, _SQRT2)], np.float32)
 
 
-def _c2w(r, c):
-    return (GRID_MIN[0] + (c + 0.5) * GRID_RES, GRID_MIN[1] + (r + 0.5) * GRID_RES)
+def _world_to_cell(xy) -> np.ndarray:
+    """(..., 2) world coords -> (..., 2) int (row, col) grid cells."""
+    xy = np.asarray(xy, np.float64)
+    col = np.floor((xy[..., 0] - GRID_MIN[0]) / GRID_RES).astype(np.int64)
+    row = np.floor((xy[..., 1] - GRID_MIN[1]) / GRID_RES).astype(np.int64)
+    return np.stack([row, col], axis=-1)
 
 
-def _nearest_free(grid, cell):
-    if not grid[cell]:
-        return cell
-    H, W = grid.shape
-    for rad in range(1, 30):
-        for dr in range(-rad, rad + 1):
-            for dc in range(-rad, rad + 1):
-                r, c = cell[0] + dr, cell[1] + dc
-                if 0 <= r < H and 0 <= c < W and not grid[r, c]:
-                    return (r, c)
-    raise RuntimeError("no free cell near start/goal")
+def _cell_to_world(rc) -> np.ndarray:
+    """(..., 2) int (row, col) cells -> (..., 2) world coords (cell centres)."""
+    rc = np.asarray(rc, np.float64)
+    x = GRID_MIN[0] + (rc[..., 1] + 0.5) * GRID_RES
+    y = GRID_MIN[1] + (rc[..., 0] + 0.5) * GRID_RES
+    return np.stack([x, y], axis=-1)
 
 
-def astar(grid: np.ndarray, start, goal):
-    H, W = grid.shape
-    s = _nearest_free(grid, _w2c(*start))
-    g = _nearest_free(grid, _w2c(*goal))
-    nbrs = [(-1, -1, 1.414), (-1, 0, 1.0), (-1, 1, 1.414), (0, -1, 1.0),
-            (0, 1, 1.0), (1, -1, 1.414), (1, 0, 1.0), (1, 1, 1.414)]
-    came = {}
-    gs = {s: 0.0}
-    pq = [(0.0, s)]
-    while pq:
-        _, u = heapq.heappop(pq)
-        if u == g:
-            break
-        for dy, dx, cost in nbrs:
-            v = (u[0] + dy, u[1] + dx)
-            if not (0 <= v[0] < H and 0 <= v[1] < W) or grid[v]:
-                continue
-            tg = gs[u] + cost
-            if tg < gs.get(v, 1e18):
-                gs[v] = tg
-                heapq.heappush(pq, (tg + math.hypot(g[0] - v[0], g[1] - v[1]), v))
-                came[v] = u
-    if g not in came and s != g:
-        raise RuntimeError(f"A*: no path {start} -> {goal}")
-    path = [g]
-    while path[-1] != s:
-        path.append(came[path[-1]])
-    path.reverse()
-    return [_c2w(r, c) for r, c in path]
+def _snap_free(grid: np.ndarray, rc) -> tuple:
+    """Closest free cell to rc (euclidean), fully vectorized."""
+    free_r, free_c = np.nonzero(~grid)
+    if free_r.size == 0:
+        raise RuntimeError("occupancy grid has no free cells")
+    k = np.argmin((free_r - rc[0]) ** 2 + (free_c - rc[1]) ** 2)
+    return (int(free_r[k]), int(free_c[k]))
 
 
-# ---------------------------------------------------------------------------
-# smoothing pipeline
-# ---------------------------------------------------------------------------
-
-def thin_path(path, step=3.5):
-    out = [path[0]]
-    for p in path[1:]:
-        if math.hypot(p[0] - out[-1][0], p[1] - out[-1][1]) >= step:
-            out.append(p)
-    if out[-1] != path[-1]:
-        out.append(path[-1])
+def _shifted(field: np.ndarray, dr: int, dc: int, fill: np.float32) -> np.ndarray:
+    """field translated by (dr, dc) with `fill` entering at the edges, so
+    out[r, c] = field[r - dr, c - dc]."""
+    out = np.full_like(field, fill)
+    H, W = field.shape
+    rs_d, rs_s = (dr, 0) if dr >= 0 else (0, -dr)
+    cs_d, cs_s = (dc, 0) if dc >= 0 else (0, -dc)
+    out[rs_d:H - rs_s, cs_d:W - cs_s] = field[rs_s:H - rs_d, cs_s:W - cs_d]
     return out
 
 
-def chaikin(path, iters=2):
-    pts = [(float(x), float(y)) for x, y in path]
+def distance_field(grid: np.ndarray, goal_rc) -> np.ndarray:
+    """Exact 8-connected shortest-path cost-to-goal over the free space,
+    computed by whole-array Bellman relaxation sweeps (the numpy twin of
+    ops/wavefront_pallas.py).  Obstacle cells stay at +inf."""
+    dist = np.full(grid.shape, _INF, np.float32)
+    dist[goal_rc] = 0.0
+    blocked = grid
+    for _ in range(grid.shape[0] * grid.shape[1]):  # converges in O(path len)
+        relaxed = dist
+        for dr, dc, w in _NBR:
+            relaxed = np.minimum(relaxed,
+                                 _shifted(dist, int(dr), int(dc), _INF) + w)
+        relaxed = np.where(blocked, _INF, relaxed)
+        if np.array_equal(relaxed, dist):
+            break
+        dist = relaxed
+    return dist
+
+
+def trace_descent(dist: np.ndarray, start_rc) -> np.ndarray:
+    """Steepest-descent walk over a distance field from start to its minimum
+    (the goal).  Returns the (N, 2) cell path including both endpoints."""
+    H, W = dist.shape
+    offs = _NBR[:, :2].astype(np.int64)           # (8, 2)
+    costs = _NBR[:, 2]
+    rc = np.asarray(start_rc, np.int64)
+    path = [rc]
+    for _ in range(4 * (H + W)):
+        if dist[tuple(rc)] <= 0.0:
+            break
+        cand = rc[None, :] + offs                 # (8, 2)
+        ok = ((cand[:, 0] >= 0) & (cand[:, 0] < H)
+              & (cand[:, 1] >= 0) & (cand[:, 1] < W))
+        cand = np.where(ok[:, None], cand, 0)
+        # descend along (neighbor dist + edge cost), invalid lanes masked out
+        total = np.where(ok, dist[cand[:, 0], cand[:, 1]] + costs, _INF)
+        k = int(np.argmin(total))
+        if total[k] >= _INF:
+            raise RuntimeError("trace_descent: start disconnected from goal")
+        rc = cand[k]
+        path.append(rc)
+    return np.stack(path)
+
+
+def shortest_path(grid: np.ndarray, start, goal) -> np.ndarray:
+    """(N, 2) world-frame shortest path start -> goal over the free space."""
+    s = _snap_free(grid, _world_to_cell(start))
+    g = _snap_free(grid, _world_to_cell(goal))
+    dist = distance_field(grid, g)
+    if dist[s] >= _INF:
+        raise RuntimeError(f"shortest_path: no path {start} -> {goal}")
+    return _cell_to_world(trace_descent(dist, s))
+
+
+# ---------------------------------------------------------------------------
+# smoothing pipeline — every stage is an (N, 2) array -> (M, 2) array map
+# ---------------------------------------------------------------------------
+
+def decimate(pts: np.ndarray, step: float = 3.5) -> np.ndarray:
+    """Keep points at >= step arc-length spacing (plus both endpoints).
+    Arc length along a dense grid path tracks chord length closely, so this
+    matches the classic greedy euclidean thinning on our inputs while being
+    a single searchsorted."""
+    pts = np.asarray(pts, np.float64)
+    s = np.concatenate([[0.0], np.cumsum(np.hypot(*np.diff(pts, axis=0).T))])
+    marks = np.arange(0.0, s[-1], step)
+    keep = np.unique(np.searchsorted(s, marks, side="left"))
+    if keep[-1] != len(pts) - 1:
+        keep = np.append(keep, len(pts) - 1)
+    return pts[keep]
+
+
+def round_corners(pts: np.ndarray, iters: int = 2) -> np.ndarray:
+    """Corner-cutting subdivision (Chaikin weights, endpoints pinned): each
+    segment is replaced by its 1/4 and 3/4 points, computed by interleaved
+    array blends.  The curve stays inside the control polygon's convex
+    corners, so grid-path clearance is never violated."""
+    pts = np.asarray(pts, np.float64)
     for _ in range(iters):
-        new = [pts[0]]
-        for i in range(len(pts) - 1):
-            p, q = pts[i], pts[i + 1]
-            new.append((0.75 * p[0] + 0.25 * q[0], 0.75 * p[1] + 0.25 * q[1]))
-            new.append((0.25 * p[0] + 0.75 * q[0], 0.25 * p[1] + 0.75 * q[1]))
-        new.append(pts[-1])
-        pts = new
+        a, b = pts[:-1], pts[1:]
+        cut = np.empty((2 * len(a), 2), np.float64)
+        cut[0::2] = a + 0.25 * (b - a)
+        cut[1::2] = a + 0.75 * (b - a)
+        pts = np.concatenate([pts[:1], cut, pts[-1:]], axis=0)
     return pts
 
 
-def resample_ds(path, ds=0.8):
-    xs = np.array([p[0] for p in path])
-    ys = np.array([p[1] for p in path])
-    t = np.concatenate(([0.0], np.cumsum(np.hypot(np.diff(xs), np.diff(ys)))))
-    tt = np.linspace(0.0, t[-1], max(int(t[-1] / ds) + 1, 2))
-    return list(zip(np.interp(tt, t, xs).tolist(), np.interp(tt, t, ys).tolist()))
+def resample(pts: np.ndarray, ds: float = 0.8) -> np.ndarray:
+    """Uniform arc-length resampling at spacing ds (endpoints preserved)."""
+    pts = np.asarray(pts, np.float64)
+    s = np.concatenate([[0.0], np.cumsum(np.hypot(*np.diff(pts, axis=0).T))])
+    u = np.linspace(0.0, s[-1], max(int(s[-1] / ds) + 1, 2))
+    return np.stack([np.interp(u, s, pts[:, 0]), np.interp(u, s, pts[:, 1])], 1)
 
 
-def _obstacle_list(scene: SceneColliders):
-    return [(float(scene.xy[i, 0]), float(scene.xy[i, 1]), float(scene.radius[i]))
-            for i in range(scene.xy.shape[0]) if scene.valid[i]]
+def _packed_obstacles(scene: SceneColliders) -> tuple[np.ndarray, np.ndarray]:
+    m = scene.valid
+    return scene.xy[m].astype(np.float64), scene.radius[m].astype(np.float64)
 
 
-def _uturn(p_last, p_prev, side, radius, n):
-    heading = p_last - p_prev
-    heading = heading / (np.linalg.norm(heading) + 1e-9)
-    perp = np.array([-heading[1], heading[0]]) * side
-    center = p_last + perp * radius
-    a0 = math.atan2(p_last[1] - center[1], p_last[0] - center[0])
-    angs = np.linspace(0.0, math.pi * side, n) + a0
-    pts = [(center[0] + radius * math.cos(a), center[1] + radius * math.sin(a))
-           for a in angs]
-    return pts, perp
+def hairpin_return(outbound: np.ndarray, oxy: np.ndarray, orad: np.ndarray,
+                   r0: float = 1.5, n_arc: int = 18, blend: int = 10) -> np.ndarray:
+    """Append a hairpin turnaround + return leg to an outbound polyline.
 
+    All candidate arcs — both turn directions × a shrinking radius ladder —
+    are generated as one (2, R, n_arc, 2) batch and scored against every
+    scene collider in a single distance computation.  Per direction the
+    largest radius with >= 1.4 m clearance wins; between directions the
+    higher clearance wins (capability of generate_routes.py's turnaround;
+    selection implemented as masked argmax rather than search loops).
+    The return leg starts offset by the turn diameter and blends linearly
+    back onto the reversed outbound line; if no arc clears, the route simply
+    retraces itself.
+    """
+    outbound = np.asarray(outbound, np.float64)
+    tip, back = outbound[-1], outbound[-3]
+    t = (tip - back) / (np.linalg.norm(tip - back) + 1e-9)
+    left = np.array([-t[1], t[0]])
 
-def add_turnaround_loop(outbound, obs, radius=1.5, n=18, blend=10):
-    """Hairpin: 180° arc tangent to the outbound heading, then a return leg
-    offset by 2r that blends back onto the reversed outbound line.  Side and
-    radius chosen for >= 1.4 m clearance; falls back to an in-place reverse."""
-    p_last = np.array(outbound[-1])
-    p_prev = np.array(outbound[-3])
-    best = None
-    for side in (+1, -1):
-        for r in (radius, radius * 0.85, radius * 0.7, radius * 0.55):
-            arc, perp = _uturn(p_last, p_prev, side, r, n)
-            wc = min((math.hypot(ax - ox, ay - oy) - orad
-                      for ax, ay in arc for ox, oy, orad in obs), default=1e9)
-            if wc >= 1.4 and (best is None or wc > best[0]):
-                best = (wc, arc, perp, r)
-                break
-    if best is None:
-        return outbound + list(reversed(outbound[:-1]))
-    _, arc, perp, r = best
-    rev = list(reversed(outbound[:-1]))
-    shift = 2.0 * r
-    ret = []
-    for i, (rx, ry) in enumerate(rev):
-        w = max(0.0, 1.0 - i / blend) if blend > 0 else 0.0
-        ret.append((rx + perp[0] * shift * w, ry + perp[1] * shift * w))
-    return outbound + arc + ret
+    sides = np.array([1.0, -1.0])                       # (2,)
+    radii = r0 * np.array([1.0, 0.85, 0.70, 0.55])       # (R,)
+    normals = sides[:, None] * left[None, :]             # (2, 2)
+    centers = tip[None, None, None, :] + (normals[:, None, :] * radii[None, :, None])[:, :, None, :]  # (2,R,1,2)
+    a0 = np.arctan2(tip[1] - centers[..., 1], tip[0] - centers[..., 0])  # (2,R,1)
+    sweep = np.linspace(0.0, math.pi, n_arc)             # (n,)
+    ang = a0 + sweep[None, None, :] * sides[:, None, None]
+    arcs = centers + radii[None, :, None, None] * np.stack(
+        [np.cos(ang), np.sin(ang)], axis=-1)             # (2, R, n, 2)
+
+    gap = (np.linalg.norm(arcs[..., None, :] - oxy, axis=-1) - orad)  # (2,R,n,O)
+    clear = gap.min(axis=(2, 3)) if oxy.size else np.full((2, len(radii)), np.inf)
+    ok = clear >= 1.4                                    # (2, R)
+    if not ok.any():
+        return np.concatenate([outbound, outbound[-2::-1]], axis=0)
+    # first admissible radius per side, then the side with more room
+    first_r = np.where(ok.any(1), ok.argmax(1), len(radii) - 1)
+    side_clear = np.where(ok.any(1), clear[np.arange(2), first_r], -np.inf)
+    si = int(np.argmax(side_clear))
+    ri = int(first_r[si])
+
+    rev = outbound[-2::-1]
+    w = np.clip(1.0 - np.arange(len(rev)) / blend, 0.0, None)[:, None]
+    ret = rev + w * normals[si] * (2.0 * radii[ri])
+    return np.concatenate([outbound, arcs[si, ri], ret], axis=0)
 
 
 def _road_like_outbound(name, spawn, turnaround, grid):
@@ -233,14 +295,10 @@ def _road_like_outbound(name, spawn, turnaround, grid):
     x0, x1 = spawn[0], turnaround[0]
     xs = np.linspace(x0, x1, 8)
     ys = np.interp(xs, ROAD_WPS[:, 0], ROAD_WPS[:, 1]) + off
-    vias = list(zip(xs.tolist(), ys.tolist()))
-    vias[0] = spawn
-    vias[-1] = turnaround
-    raw = []
-    for a, b in zip(vias[:-1], vias[1:]):
-        leg = astar(grid, a, b)
-        raw.extend(leg if not raw else leg[1:])
-    return raw
+    vias = np.stack([xs, ys], axis=1)
+    vias[0], vias[-1] = spawn, turnaround
+    legs = [shortest_path(grid, a, b) for a, b in zip(vias[:-1], vias[1:])]
+    return np.concatenate([legs[0]] + [leg[1:] for leg in legs[1:]], axis=0)
 
 
 def generate_route(name: str, scene: SceneColliders | None = None,
@@ -248,17 +306,16 @@ def generate_route(name: str, scene: SceneColliders | None = None,
     scene = scene if scene is not None else default_scene()
     meta = ROUTE_META[name]
     spawn, turnaround = meta["spawn"], meta["turnaround"]
-    obs = _obstacle_list(scene)
+    oxy, orad = _packed_obstacles(scene)
     if grid is None:
         grid = build_grid(scene)
     if name in ROAD_LIKE:
         raw = _road_like_outbound(name, spawn, turnaround, grid)
     else:
-        raw = astar(grid, spawn, turnaround)
-    sm = resample_ds(chaikin(thin_path(raw, 3.5), 2), 0.8)
-    turnaround_idx = len(sm) - 1
-    full = add_turnaround_loop(sm, obs)
-    full = resample_ds(chaikin(full, 1), 0.8)
+        raw = shortest_path(grid, spawn, turnaround)
+    sm = resample(round_corners(decimate(raw, 3.5), 2), 0.8)
+    full = resample(round_corners(hairpin_return(sm, oxy, orad), 1), 0.8)
+    full = [tuple(p) for p in full]
     n = len(full)
     if n > DENSE_CAP:
         full = full[:DENSE_CAP]
