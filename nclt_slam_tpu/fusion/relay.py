@@ -68,9 +68,12 @@ class FusionState(NamedTuple):
     anchor_tick: jax.Array     # int32 (tick the anchor arrived)
     has_anchor: jax.Array      # bool
     strong_streak: jax.Array   # int32
-    # jump rejection
-    prev_nav: jax.Array        # (3,) x, y, yaw
+    # jump rejection (raw aligned-SLAM pose delta, not the blended output)
+    prev_nav: jax.Array        # (3,) last aligned SLAM x, y, yaw
     have_prev_nav: jax.Array   # bool
+    # last published pose — what the matcher reads as its query pose, like
+    # the reference matcher reading the relay's /tmp/isaac_pose.txt
+    pub_nav: jax.Array         # (3,) x, y, yaw
     # degraded-compass drift accumulator (0 with the absolute-compass model)
     compass_bias: jax.Array    # ()
 
@@ -89,6 +92,7 @@ def init_fusion(cfg: FusionConfig) -> FusionState:
         anchor_tick=jnp.int32(-10 ** 6), has_anchor=jnp.array(False),
         strong_streak=jnp.int32(0),
         prev_nav=jnp.zeros(3), have_prev_nav=jnp.array(False),
+        pub_nav=jnp.zeros(3),
         compass_bias=jnp.float32(0.0),
     )
 
@@ -341,5 +345,6 @@ def fusion_tick(state: FusionState, gt_x, gt_y, gt_yaw, slam_t, slam_quat,
         prev_nav=jnp.where(slam_ok & state.committed,
                            jnp.array([slam_nx, slam_ny, slam_nyaw]),
                            state.prev_nav),
-        have_prev_nav=state.have_prev_nav | (slam_ok & state.committed))
+        have_prev_nav=state.have_prev_nav | (slam_ok & state.committed),
+        pub_nav=jnp.array([nav_x, nav_y, nav_yaw]))
     return state, nav_x, nav_y, nav_yaw, regime

@@ -82,6 +82,9 @@ class RepeatTrace(NamedTuple):
     nav_xy: jax.Array       # localization output fed to nav
     regime: jax.Array       # fusion regime code
     anchor_ok: jax.Array    # anchor published this tick
+    anchor_reason: jax.Array   # matcher outcome code; -1 = no attempt tick
+    anchor_shift: jax.Array    # |anchor - nav| on publish (anchor_matches.csv)
+    anchor_inliers: jax.Array  # best-candidate inlier count
     vio_tracked: jax.Array  # VIO match count
     vio_ndesc: jax.Array    # VIO descriptor matches pre-projection-gate
     vio_nins: jax.Array     # VIO map insertions this frame
@@ -132,6 +135,9 @@ def repeat_step(carry: RepeatCarry, tick, scene: PackedScene,
         nav_xy, nav_yaw = robot.xy, gt_yaw
         regime = jnp.int32(-1)
         anchor_ok = jnp.array(False)
+        anchor_reason = jnp.int32(-1)
+        anchor_shift = jnp.float32(0.0)
+        anchor_inliers = jnp.int32(0)
     else:
         # 200 Hz synthetic IMU over this tick's substep trajectory
         imu, imu_meas = imu_block(carry.imu, pos_traj, quat_traj,
@@ -164,7 +170,7 @@ def repeat_step(carry: RepeatCarry, tick, scene: PackedScene,
         # --- visual anchor matcher at 2 Hz ---
         fusion = carry.fusion
         if mode.use_anchors:
-            vio_nav = fusion.prev_nav  # relay-published pose, like the
+            vio_nav = fusion.pub_nav  # relay-published pose, like the
             #                            matcher reading /tmp/isaac_pose.txt
 
             def try_anchor(f):
@@ -181,13 +187,19 @@ def repeat_step(carry: RepeatCarry, tick, scene: PackedScene,
                 f2 = anchor_update(f, res.xy, res.std, tick, cfg.fusion)
                 f2 = jax.tree_util.tree_map(
                     lambda new, old: jnp.where(res.ok, new, old), f2, f)
-                return f2, res.ok
+                shift = jnp.linalg.norm(res.xy - vio_nav[:2])
+                return f2, res.ok, res.reason, shift, res.n_inliers
 
-            fusion, anchor_ok = jax.lax.cond(
-                tick % cfg.landmarks.tick_period == 0, try_anchor,
-                lambda f: (f, jnp.array(False)), fusion)
+            fusion, anchor_ok, anchor_reason, anchor_shift, anchor_inliers = \
+                jax.lax.cond(
+                    tick % cfg.landmarks.tick_period == 0, try_anchor,
+                    lambda f: (f, jnp.array(False), jnp.int32(-1),
+                               jnp.float32(0.0), jnp.int32(0)), fusion)
         else:
             anchor_ok = jnp.array(False)
+            anchor_reason = jnp.int32(-1)
+            anchor_shift = jnp.float32(0.0)
+            anchor_inliers = jnp.int32(0)
 
         # --- v55 relay fusion tick ---
         fusion, nav_x, nav_y, nav_yaw, regime = fusion_tick(
@@ -256,7 +268,8 @@ def repeat_step(carry: RepeatCarry, tick, scene: PackedScene,
     has_aux = (not mode.use_gt) and mode.use_slam
     trace = RepeatTrace(
         gt_xy=robot.xy, gt_yaw=gt_yaw, nav_xy=nav_xy,
-        regime=regime, anchor_ok=anchor_ok,
+        regime=regime, anchor_ok=anchor_ok, anchor_reason=anchor_reason,
+        anchor_shift=anchor_shift, anchor_inliers=anchor_inliers,
         vio_tracked=vio.n_tracked if not mode.use_gt else jnp.int32(-1),
         vio_ndesc=vio_aux.n_desc if has_aux else jnp.int32(-1),
         vio_nins=vio_aux.n_ins if has_aux else jnp.int32(-1),
