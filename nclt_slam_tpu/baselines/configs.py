@@ -45,6 +45,6 @@ def stock_nav2() -> Config:
 
 
 def rgbd_no_imu() -> Config:
-    """exp 76: our pipeline with pure RGB-D VIO (no inertial term), no
-    anchors — the reference's second baseline."""
+    """exp 76: our pipeline with pure RGB-D VIO (no inertial term); the
+    anchor matcher stays on (exp 76's results contain anchor_matches.csv)."""
     return cfg_mod.rgbd_no_imu()

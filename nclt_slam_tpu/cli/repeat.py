@@ -54,7 +54,7 @@ def main(argv=None):
     cfg = config_for(args.mode, args.scale)
     route = get_route(args.route)
     drops = build_drops(route) if args.obstacles else None
-    scene = pack_scene(default_scene(), drops)
+    scene = pack_scene(default_scene(), drops, session=1)
     packed = pack_route(route, cfg)
 
     teach_dir = Path(args.teach_dir)

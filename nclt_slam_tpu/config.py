@@ -83,8 +83,26 @@ class CameraConfig:
     # which made the VIO unrealistically accurate at range; the quadratic
     # model restores the drift the reference's ORB-SLAM3 exhibits without
     # anchors.
-    px_noise: float = 1.0
+    px_noise: float = 2.0
     depth_noise_rel_per_m: float = 0.003
+    # gross depth outliers (stereo mismatch on repetitive bark/foliage,
+    # specular leaves): a D435i in foliage shows a few % of wild depths.
+    depth_outlier_frac: float = 0.005
+    depth_outlier_lo: float = 0.5      # outlier depth scale range
+    depth_outlier_hi: float = 1.6
+    # correlated systematic error — what actually produces VIO drift.
+    # White pixel/depth noise averages away over ~100 features x a sliding
+    # window; real ORB-SLAM3 drift (0.1-0.2 % of distance,
+    # routes/README.md:24-40) comes from slowly-varying systematic error:
+    # stereo-baseline thermal drift (a depth SCALE bias) and calibration /
+    # rolling-shutter pointing error (a pixel OFFSET bias).  Modeled as
+    # smooth sine fields of camera position: locally constant (the VIO
+    # believes them), varying over tens of meters (error accumulates as a
+    # random walk over distance instead of cancelling).
+    depth_bias_amp: float = 0.008       # depth scale bias amplitude
+    depth_bias_scale_m: float = 30.0   # spatial correlation length
+    px_bias_amp: float = 0.7           # pixel offset bias amplitude [px]
+    px_bias_scale_m: float = 40.0
 
 
 @_frozen
@@ -192,10 +210,61 @@ class LandmarkConfig:
     std_bad: float = 0.2
     inlier_hi: int = 25
     inlier_lo: int = 15
-    # descriptor observation model
+    # descriptor observation model.  Real forest ORB descriptors are highly
+    # aliased — bark looks like bark, leaf litter like leaf litter — which
+    # is why the reference's matcher rejects ~45 % of anchor attempts at
+    # the PnP gate and ORB-SLAM3 "runs out of texture" in the deep forest
+    # (routes/README.md:68, anchor_matches.csv outcome stats).  Model:
+    # every feature's 256-bit descriptor = a texture-class prototype XOR a
+    # per-feature unique perturbation of ~desc_unique_bits bits, so
+    # unrelated same-class features sit ~2*u*(1-u/256) ≈ 50 bits apart —
+    # inside the matcher's 64-bit cap — and become false matches whenever
+    # the true feature is occluded/dropped.  desc_classes=0 restores the
+    # round-2 globally-unique-random model (no aliasing).
     desc_words: int = 8                # 8 x uint32 = 256-bit descriptors
-    desc_noise_bits: float = 12.0      # mean flipped bits per observation
+    desc_noise_bits: float = 20.0      # mean flipped bits per observation
+    desc_classes: int = 16             # texture codebook size (0 = unique)
+    desc_unique_bits: float = 30.0     # mean bits from class prototype
+    # viewpoint-dependent corruption: ORB patches decorrelate continuously
+    # with viewpoint change (~fully by 60-70°).  Each feature bit carries a
+    # random angular threshold; an observation's flip mask is the set of
+    # bits whose threshold lies below the current viewing azimuth's
+    # distance from the feature's anchor direction.  Two observations then
+    # differ by ~view_bits_per_deg * Δazimuth bits — consecutive VIO
+    # frames (sub-degree Δ) pay nothing, while the anchor matcher's
+    # candidates (laterally offset, detoured, or drifted poses) pay the
+    # ORB viewpoint cliff that produces the reference's 45 % no_pnp_accept
+    # outcome rate (anchor_matches.csv).  Saturates at 128 bits ≈ random.
+    view_bits_per_deg: float = 2.6     # saturates at 128/rate ≈ 49°
+    # teach-vs-repeat session appearance gap: lighting/shadow/season change
+    # between the teach recording and the repeat drive decorrelates ORB
+    # descriptors ACROSS sessions without touching within-session (VIO)
+    # matching — the reason the reference's anchor matcher fails 45 % of
+    # PnP attempts on-path while its VIO tracks fine
+    # (anchor_matches.csv outcome stats).  Each scene feature gets a fixed
+    # random flip mask of ~this many bits applied to every repeat-session
+    # observation.
+    session_shift_bits: float = 12.0
+    # cross-session detector overlap: the fraction of teach-session
+    # keypoints that are re-detected in the repeat session.  ORB detection
+    # is unstable under lighting change — moved shadows promote different
+    # corners — so only ~this fraction of a stored landmark's features
+    # exist in the live frame at all; the rest of the live features are
+    # DIFFERENT physical points (decoys) that alias into false matches and
+    # sink the PnP inlier count, the reference's dominant no_pnp_accept
+    # mechanism (45 % of attempts, anchor_matches.csv).  1.0 = stable
+    # detector (round-2 behavior).
+    session_overlap: float = 0.55
     max_obs_features: int = 192        # live-frame feature cap
+    # per-tick feature dropout (motion blur, exposure, foliage occlusion).
+    # Clutter-scaled: features inside dense tree clusters drop more often
+    # (intervening trunks + canopy shadow), which starves the VIO exactly
+    # where the reference's ORB starves — deep forest and long diagonals.
+    feat_dropout: float = 0.06         # base per-tick dropout probability
+    clutter_radius_m: float = 9.0      # neighborhood for the clutter count
+    clutter_drop_per_tree: float = 0.004  # extra dropout per nearby collider
+    clutter_free_trees: int = 3        # clutter count where penalty starts
+    feat_pkeep_min: float = 0.60       # dropout floor (never fully blind)
 
 
 @_frozen
@@ -380,8 +449,10 @@ class EvalConfig:
 class VioConfig:
     """TPU VIO front+back end (capability match for ORB-SLAM3 RGB-D-inertial)."""
 
-    window_kf: int = 10                # sliding window keyframes
-    max_points: int = 128              # landmarks per BA window
+    window_kf: int = 16                # sliding window keyframes (8 m of
+    #                                    travel at kf_min_disp — local-map
+    #                                    scale, matching ORB-SLAM3's
+    #                                    covisibility neighborhood)
     kf_min_disp: float = 0.5           # new keyframe every 0.5 m
     gn_iters: int = 8
     lm_damping: float = 1e-3
@@ -465,6 +536,12 @@ def encoder_only() -> Config:
 
 
 def rgbd_no_imu() -> Config:
-    """exp 76 baseline: VIO without inertial term, no anchors."""
-    return Config(mode=LocalizationMode(use_slam=True, use_anchors=False,
+    """exp 76 baseline: full pipeline, VIO without the inertial term.
+
+    The matcher stays ON: exp 76's results directory contains
+    anchor_matches.csv (76_rgbd_no_imu_ours/results/run_09), i.e. the
+    reference's RGB-D ablation removes only ORB-SLAM3's IMU fusion — the
+    anchor pipeline still corrects the drifting RGB-D track, which is why
+    exp 76 reaches 10/15 where no-matcher stock reaches 2/15."""
+    return Config(mode=LocalizationMode(use_slam=True, use_anchors=True,
                                         use_imu=False, use_gt=False))

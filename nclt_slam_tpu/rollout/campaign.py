@@ -55,9 +55,13 @@ def build_campaign(route_names=None, seed: int = 7, cfg: Config | None = None,
     names = route_names or ALL_ROUTES
     scene = default_scene(seed)
     routes = [get_route(n, seed) for n in names]
-    scenes_teach = _stack([pack_scene(scene, no_drops()) for _ in routes])
+    scenes_teach = _stack([pack_scene(scene, no_drops(), cfg=cfg)
+                           for _ in routes])
+    # session=1: the repeat drive happens under a different appearance
+    # epoch than the teach recording (session_shift_bits)
     scenes_repeat = _stack([
-        pack_scene(scene, build_drops(r) if with_drops else no_drops())
+        pack_scene(scene, build_drops(r) if with_drops else no_drops(),
+                   cfg=cfg, session=1)
         for r in routes])
     packed_routes = _stack([pack_route(r, cfg) for r in routes])
     return CampaignData(scenes_teach=scenes_teach, scenes_repeat=scenes_repeat,
@@ -165,8 +169,13 @@ def apply_stock_projection(teach_grids, wps, n_wps, cfg: Config):
 
 def run_campaign_repeat(data: CampaignData, teach_grids, wps, n_wps,
                         cfg: Config, n_ticks: int, stores=None,
-                        chunk: int = 250, progress=None) -> RepeatResult:
-    """Batched repeat, chunked like run_campaign_teach."""
+                        chunk: int = 250, progress=None, carry=None,
+                        tick0: int = 0) -> RepeatResult:
+    """Batched repeat, chunked like run_campaign_teach.
+
+    ``carry``/``tick0`` continue a previous run's final state — used by the
+    bench's steady-state window (skip the teach-warmup transient) and by
+    checkpoint resume."""
     chunk = min(chunk, n_ticks)
     # Stock baseline: the one-time client-side WP projection must run for
     # every entry point (bench, tests, CLI), not just the campaign CLI —
@@ -180,11 +189,13 @@ def run_campaign_repeat(data: CampaignData, teach_grids, wps, n_wps,
         lambda sc, rt, tg, wp, nw, st, c, t0: run_repeat(
             sc, rt, tg, wp, nw, cfg, chunk, store=st, carry=c, tick0=t0),
         in_axes=(0, 0, 0, 0, 0, 0, 0, None))))
-    carry = jax.vmap(lambda rt, wp, nw: init_repeat_carry(rt, wp, nw, cfg))(
-        data.routes, wps, n_wps)
+    if carry is None:
+        carry = jax.vmap(
+            lambda rt, wp, nw: init_repeat_carry(rt, wp, nw, cfg))(
+            data.routes, wps, n_wps)
     traces = []
     res = None
-    for t0 in range(0, n_ticks, chunk):
+    for t0 in range(tick0, tick0 + n_ticks, chunk):
         res = f(data.scenes_repeat, data.routes, teach_grids, wps, n_wps,
                 stores, carry, jnp.int32(t0))
         carry = res.final

@@ -107,7 +107,10 @@ def _active_valid(scene: PackedScene, fired):
 
 def _scene_features(scene: PackedScene) -> SceneFeatures:
     return SceneFeatures(xyz=scene.feat_xyz, desc=scene.feat_desc,
-                         owner=scene.feat_owner, valid=scene.feat_valid)
+                         owner=scene.feat_owner, valid=scene.feat_valid,
+                         pkeep=scene.feat_pkeep,
+                         view_thr=scene.feat_view_thr,
+                         view_alpha=scene.feat_view_alpha)
 
 
 def repeat_step(carry: RepeatCarry, tick, scene: PackedScene,
@@ -296,7 +299,7 @@ def init_repeat_carry(route: PackedRoute, wps, n_wps, cfg: Config,
         dispatch=init_dispatch(wps, n_wps, cfg.planner),
         sup=init_supervisor(),
         imu=init_imu(k_imu, cfg.imu),
-        vio=init_vio(cfg.landmarks.desc_words),
+        vio=init_vio(cfg.landmarks.desc_words, cfg.vio.window_kf),
         fusion=init_fusion(cfg.fusion),
         grid_live=empty_grid(cfg.map),
         cost_win=jnp.zeros((W, W), jnp.float32),

@@ -32,6 +32,9 @@ class PackedScene(NamedTuple):
     feat_desc: jnp.ndarray  # (S, W) uint32 descriptors
     feat_owner: jnp.ndarray  # (S,) owning collider index
     feat_valid: jnp.ndarray  # (S,)
+    feat_pkeep: jnp.ndarray  # (S,) per-tick keep probability
+    feat_view_thr: jnp.ndarray    # (S, 256) per-bit angular thresholds
+    feat_view_alpha: jnp.ndarray  # (S,) anchor azimuths
 
 
 class PackedRoute(NamedTuple):
@@ -45,7 +48,14 @@ class PackedRoute(NamedTuple):
 
 
 def pack_scene(scene: SceneColliders, drops: RouteDrops | None = None,
-               cfg: Config | None = None, feat_seed: int = 123) -> PackedScene:
+               cfg: Config | None = None, feat_seed: int = 123,
+               session: int = 0) -> PackedScene:
+    """``session`` selects the appearance epoch: 0 = teach.  A non-zero
+    session XORs each feature descriptor with a fixed random mask of
+    ~``session_shift_bits`` bits (lighting/season change between the teach
+    recording and the repeat drive) — within-session matching (VIO) is
+    unaffected, cross-session matching (the anchor matcher against the
+    teach-time store) pays the appearance gap."""
     from nclt_slam_tpu import config as cfg_mod
     cfg = cfg or cfg_mod.DEFAULT
     if drops is None:
@@ -59,12 +69,31 @@ def pack_scene(scene: SceneColliders, drops: RouteDrops | None = None,
         [np.zeros(len(scene.xy), bool), np.ones(len(drops.xy), bool)], 0)
     feats = build_scene_features(xy, radius, base_z, height, valid,
                                  cfg.landmarks, seed=feat_seed)
+    if session != 0:
+        from nclt_slam_tpu.sensors.features import (resample_session,
+                                                    session_shift_masks)
+        # detector instability: a fraction of teach keypoints don't exist
+        # in the repeat session (replaced by different corners)
+        feats = resample_session(feats, cfg.landmarks,
+                                 seed=feat_seed * 131 + session)
+        desc = feats.desc
+        if cfg.landmarks.session_shift_bits > 0:
+            # appearance shift on the surviving (shared) keypoints
+            masks = session_shift_masks(
+                np.asarray(desc).shape, cfg.landmarks.session_shift_bits,
+                seed=feat_seed * 7919 + session)
+            desc = jnp.asarray(np.asarray(desc) ^ masks)
+    else:
+        desc = feats.desc
     return PackedScene(
         xy=jnp.asarray(xy), radius=jnp.asarray(radius),
         base_z=jnp.asarray(base_z), height=jnp.asarray(height),
         valid=jnp.asarray(valid), drop_mask=jnp.asarray(drop_mask),
-        feat_xyz=feats.xyz, feat_desc=feats.desc,
+        feat_xyz=feats.xyz, feat_desc=desc,
         feat_owner=feats.owner, feat_valid=feats.valid,
+        feat_pkeep=feats.pkeep,
+        feat_view_thr=feats.view_thr,
+        feat_view_alpha=feats.view_alpha,
     )
 
 

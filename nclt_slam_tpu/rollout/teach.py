@@ -76,7 +76,10 @@ class TeachResult(NamedTuple):
 
 def _scene_features(scene: PackedScene) -> SceneFeatures:
     return SceneFeatures(xyz=scene.feat_xyz, desc=scene.feat_desc,
-                         owner=scene.feat_owner, valid=scene.feat_valid)
+                         owner=scene.feat_owner, valid=scene.feat_valid,
+                         pkeep=scene.feat_pkeep,
+                         view_thr=scene.feat_view_thr,
+                         view_alpha=scene.feat_view_alpha)
 
 
 def _chase_cmd(robot: RobotState, route: PackedRoute, chase_idx, cfg: Config):
@@ -195,7 +198,7 @@ def init_teach_carry(route: PackedRoute, cfg: Config,
         key=key,
         done=jnp.array(False),
         imu=init_imu(k_imu, cfg.imu),
-        vio=init_vio(cfg.landmarks.desc_words),
+        vio=init_vio(cfg.landmarks.desc_words, cfg.vio.window_kf),
         drift=init_drift_monitor(cfg.teach),
     )
 

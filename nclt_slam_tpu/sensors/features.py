@@ -34,6 +34,10 @@ class SceneFeatures(NamedTuple):
     desc: jnp.ndarray    # (S, desc_words) uint32 descriptors
     owner: jnp.ndarray   # (S,) collider index
     valid: jnp.ndarray   # (S,)
+    pkeep: jnp.ndarray   # (S,) per-tick keep probability (clutter dropout)
+    view_thr: jnp.ndarray    # (S, 32*desc_words) uint8 per-bit angular
+    #                          thresholds (continuous viewpoint decorrelation)
+    view_alpha: jnp.ndarray  # (S,) per-feature anchor azimuth [rad]
 
 
 GROUND_DENSITY = 0.25  # forest-floor texture features per m^2
@@ -97,10 +101,53 @@ def build_scene_features(obs_xy: np.ndarray, obs_r: np.ndarray,
         valid = np.concatenate([valid, np.ones(G, bool)], 0)
         S += G
 
-    desc = rng.randint(0, 2 ** 32, size=(S, cfg.desc_words), dtype=np.uint64)
+    # --- descriptors: texture-class codebook + per-feature unique bits ---
+    # (see LandmarkConfig.desc_classes for the aliasing rationale)
+    if cfg.desc_classes > 0:
+        protos = rng.randint(0, 2 ** 32, size=(cfg.desc_classes, cfg.desc_words),
+                             dtype=np.uint64).astype(np.uint32)
+        # colliders draw a class each (nearby trees share texture classes at
+        # random); every ground feature draws its own class
+        coll_class = rng.randint(0, cfg.desc_classes, size=max(N, 1))
+        feat_class = np.where(owner >= 0, coll_class[np.maximum(owner, 0)],
+                              rng.randint(0, cfg.desc_classes, size=S))
+        p_u = min(cfg.desc_unique_bits / (32.0 * cfg.desc_words), 0.5)
+        u_bits = (rng.random_sample((S, cfg.desc_words, 32)) < p_u)
+        weights = (1 << np.arange(32, dtype=np.uint64))
+        u_mask = (u_bits * weights[None, None, :]).sum(-1).astype(np.uint32)
+        desc = protos[feat_class] ^ u_mask
+    else:
+        desc = rng.randint(0, 2 ** 32, size=(S, cfg.desc_words),
+                           dtype=np.uint64).astype(np.uint32)
+
+    # --- clutter-scaled per-tick keep probability ---
+    # count valid colliders within clutter_radius_m of each feature; dense
+    # clusters (deep forest) occlude and shadow their features more often
+    act = np.asarray(obs_valid, bool)
+    if act.any():
+        cxy = np.asarray(obs_xy, np.float32)[act]
+        d2 = ((xyz[:, None, :2] - cxy[None, :, :]) ** 2).sum(-1)
+        clutter = (d2 < cfg.clutter_radius_m ** 2).sum(-1)
+    else:
+        clutter = np.zeros(S)
+    excess = np.maximum(clutter - cfg.clutter_free_trees, 0)
+    pkeep = np.clip((1.0 - cfg.feat_dropout)
+                    * (1.0 - cfg.clutter_drop_per_tree * excess),
+                    cfg.feat_pkeep_min, 1.0).astype(np.float32)
+
+    # --- continuous viewpoint decorrelation (LandmarkConfig.view_bits_per_deg)
+    # Per-bit random angular thresholds: the flip mask at azimuth az is
+    # {bits : thr < g(Δ(az, alpha))}, nested in Δ, so two observations
+    # differ by ~view_bits_per_deg * Δazimuth bits, saturating at 128.
+    nbits = 32 * cfg.desc_words
+    view_thr = rng.randint(0, 256, size=(S, nbits), dtype=np.uint8)
+    view_alpha = rng.uniform(-np.pi, np.pi, S).astype(np.float32)
+
     return SceneFeatures(
-        xyz=jnp.asarray(xyz), desc=jnp.asarray(desc.astype(np.uint32)),
-        owner=jnp.asarray(owner), valid=jnp.asarray(valid))
+        xyz=jnp.asarray(xyz), desc=jnp.asarray(desc),
+        owner=jnp.asarray(owner), valid=jnp.asarray(valid),
+        pkeep=jnp.asarray(pkeep), view_thr=jnp.asarray(view_thr),
+        view_alpha=jnp.asarray(view_alpha))
 
 
 class Observation(NamedTuple):
@@ -134,7 +181,12 @@ def observe(base_pos, yaw, feats: SceneFeatures, obs_valid_now,
     # owner -1 = ground-texture feature, never removed with obstacles
     alive = feats.valid & ((feats.owner < 0)
                            | obs_valid_now[jnp.maximum(feats.owner, 0)])
-    vis = in_img & in_depth & alive
+    # clutter-scaled per-tick dropout (motion blur / occlusion / shadow):
+    # the spatially-varying starvation that makes dense-forest stretches
+    # genuinely hard for the VIO, like the reference's ORB texture deserts
+    k_drop, key = jax.random.split(key)
+    kept = jax.random.bernoulli(k_drop, feats.pkeep)
+    vis = in_img & in_depth & alive & kept
 
     # Occlusion is handled statistically by the descriptor-noise model (a
     # geometric per-feature occlusion test against all colliders would cost
@@ -159,17 +211,60 @@ def observe(base_pos, yaw, feats: SceneFeatures, obs_valid_now,
             [jnp.isfinite(score[order]), jnp.zeros(K - S, bool)])
 
     # observation noise: pixel jitter + depth noise + descriptor bit flips
-    k1, k2, k3 = jax.random.split(key, 3)
+    k1, k2, k3, k4, k5 = jax.random.split(key, 5)
     uv = jnp.stack([u[idx], v[idx]], -1)
     uv = uv + cam.px_noise * jax.random.normal(k1, uv.shape)
+    # correlated systematic pointing bias (see CameraConfig.px_bias_amp):
+    # locally constant, so it does NOT average away across features — the
+    # error source that actually accumulates into VIO drift
+    if cam.px_bias_amp > 0:
+        ub = _bias_field(origin[0], origin[1], cam.px_bias_scale_m,
+                         (0.3, 2.1, 4.4))
+        vb = _bias_field(origin[0], origin[1], cam.px_bias_scale_m,
+                         (1.7, 3.9, 5.6))
+        uv = uv + cam.px_bias_amp * jnp.stack([ub, vb])[None, :]
     p3d = p_cam[idx]
     # stereo-depth error: sigma_z/z = depth_noise_rel_per_m * z (quadratic
     # absolute error, like D435i disparity-limited depth)
     rel_std = cam.depth_noise_rel_per_m * jnp.maximum(p3d[:, 2:3], 0.0)
     depth_noise = 1.0 + rel_std * jax.random.normal(k2, (K, 1))
     p3d = p3d * depth_noise  # multiplicative range noise
+    # correlated depth-scale bias (stereo-baseline thermal drift analog)
+    if cam.depth_bias_amp > 0:
+        db = _bias_field(origin[0], origin[1], cam.depth_bias_scale_m,
+                         (2.6, 0.8, 5.1))
+        p3d = p3d * (1.0 + cam.depth_bias_amp * db)
+    # gross depth outliers: stereo mismatch on repetitive bark / specular
+    # foliage throws a few % of depths far off the surface
+    if cam.depth_outlier_frac > 0:
+        is_out = jax.random.bernoulli(k4, cam.depth_outlier_frac, (K, 1))
+        out_scale = jax.random.uniform(
+            k5, (K, 1), minval=cam.depth_outlier_lo,
+            maxval=cam.depth_outlier_hi)
+        p3d = jnp.where(is_out, p3d * out_scale, p3d)
 
     desc = feats.desc[idx]
+    # continuous viewpoint corruption: flip every bit whose angular
+    # threshold lies below this view's distance from the feature's anchor
+    # azimuth — nested masks, so |flips between two views| grows at
+    # ~view_bits_per_deg per degree of viewpoint change (the ORB
+    # viewpoint cliff the anchor matcher pays; consecutive VIO frames
+    # see sub-degree deltas and pay nothing)
+    if cfg.view_bits_per_deg > 0:
+        rel_f = origin[None, :2] - feats.xyz[idx, :2]
+        az = jnp.arctan2(rel_f[:, 1], rel_f[:, 0])
+        dal = jnp.abs(jnp.mod(az - feats.view_alpha[idx] + jnp.pi,
+                              2.0 * jnp.pi) - jnp.pi)          # (K,) [0, pi]
+        # mask fraction g in [0, 0.5]: bits_per_deg rate, saturating at
+        # 128 bits (≈ random) by 128/view_bits_per_deg degrees
+        g = 0.5 * jnp.minimum(
+            jnp.degrees(dal) * cfg.view_bits_per_deg / 128.0, 1.0)
+        thr = feats.view_thr[idx].astype(jnp.float32) / 255.0  # (K, 256)
+        flips = (thr < g[:, None] - 1e-7)
+        W = cfg.desc_words
+        fw = flips.reshape(K, W, 32).astype(jnp.uint32)
+        bitw = (2 ** jnp.arange(32, dtype=jnp.uint32))
+        desc = desc ^ (fw * bitw[None, None, :]).sum(-1).astype(jnp.uint32)
     # flip ~desc_noise_bits random bits: for each word, build a mask with
     # desc_noise_bits/256 per-bit probability
     p_flip = cfg.desc_noise_bits / (32.0 * cfg.desc_words)
@@ -182,6 +277,66 @@ def observe(base_pos, yaw, feats: SceneFeatures, obs_valid_now,
     return Observation(uv=uv, p3d_cam=p3d, desc=desc,
                        feat_id=idx.astype(jnp.int32),
                        valid=sel_valid)
+
+
+def resample_session(feats: SceneFeatures, cfg, seed: int) -> SceneFeatures:
+    """Cross-session detector resample (LandmarkConfig.session_overlap).
+
+    Keeps each feature with probability ``session_overlap``; the rest are
+    replaced by DIFFERENT physical corners — position jittered on the same
+    surface, fresh descriptor/viewpoint state — so a teach-time landmark
+    snapshot only partially exists in the repeat world.  Host-side numpy,
+    runs once at scene-pack time."""
+    p = float(cfg.session_overlap)
+    if p >= 1.0:
+        return feats
+    xyz = np.asarray(feats.xyz).copy()
+    desc = np.asarray(feats.desc).copy()
+    thr = np.asarray(feats.view_thr).copy()
+    alpha = np.asarray(feats.view_alpha).copy()
+    S, W = desc.shape
+    rng = np.random.RandomState((seed * 31 + 17) & 0x7FFFFFFF)
+    replace = rng.random_sample(S) >= p
+    n = int(replace.sum())
+    if n == 0:
+        return feats
+    # a different corner nearby: up to ~0.5 m vertically on the trunk /
+    # ~0.3 m laterally on the ground patch
+    xyz[replace] += np.column_stack([
+        rng.normal(0, 0.15, n), rng.normal(0, 0.15, n),
+        rng.normal(0, 0.35, n)]).astype(np.float32)
+    weights = (1 << np.arange(32, dtype=np.uint64))
+    p_flip = 0.5  # a different physical point: descriptor uncorrelated
+    flips = (rng.random_sample((n, W, 32)) < p_flip)
+    desc[replace] ^= (flips * weights[None, None, :]).sum(-1).astype(np.uint32)
+    thr[replace] = rng.randint(0, 256, size=(n, thr.shape[1]), dtype=np.uint8)
+    alpha[replace] = rng.uniform(-np.pi, np.pi, n).astype(np.float32)
+    return feats._replace(xyz=jnp.asarray(xyz), desc=jnp.asarray(desc),
+                          view_thr=jnp.asarray(thr),
+                          view_alpha=jnp.asarray(alpha))
+
+
+def session_shift_masks(shape, bits: float, seed: int) -> np.ndarray:
+    """Fixed per-feature XOR masks with ~``bits`` set bits out of 32*W —
+    the cross-session appearance gap (LandmarkConfig.session_shift_bits).
+    Host-side numpy: runs once at scene-pack time."""
+    S, W = shape
+    rng = np.random.RandomState(seed & 0x7FFFFFFF)
+    p = min(bits / (32.0 * W), 0.5)
+    bits_arr = rng.random_sample((S, W, 32)) < p
+    weights = (1 << np.arange(32, dtype=np.uint64))
+    return (bits_arr * weights[None, None, :]).sum(-1).astype(np.uint32)
+
+
+def _bias_field(x, y, scale, phases):
+    """Smooth ~unit-variance scalar field: three incommensurate plane
+    waves of wavelength ``scale``.  Deterministic — it plays the role of a
+    fixed (but spatially varying) sensor calibration state."""
+    k = 2.0 * jnp.pi / scale
+    t1 = jnp.sin(k * (0.93 * x + 0.36 * y) + phases[0])
+    t2 = jnp.sin(k * (-0.41 * x + 0.91 * y) + phases[1])
+    t3 = jnp.sin(k * (0.55 * x - 0.83 * y) + phases[2])
+    return (t1 + t2 + t3) * 0.577
 
 
 def hamming(d1, d2):
@@ -197,7 +352,20 @@ def cross_check_match(desc_a, valid_a, desc_b, valid_b, max_dist: int = 64,
                       return_dist: bool = False):
     """BFMatcher(crossCheck=True) equivalent: mutual nearest neighbors under
     a Hamming cap.  Returns (match_idx (A,), matched (A,)) mapping a->b;
-    with ``return_dist`` also the per-a best distance (novelty gate)."""
+    with ``return_dist`` also the per-a best distance (novelty gate).
+
+    On TPU this dispatches to the fused Pallas kernel (ops/hamming_pallas):
+    one launch, ±1-bit MXU matmul, gather-free mutual check — exact
+    agreement with the XLA path below is asserted in tests/test_ops.py."""
+    if jax.default_backend() == "tpu":
+        from nclt_slam_tpu.ops.hamming_pallas import cross_check_pallas
+
+        best_ab, matched, best_d = cross_check_pallas(
+            desc_a, valid_a, desc_b, valid_b, max_dist=max_dist)
+        if return_dist:
+            return best_ab, matched, best_d
+        return best_ab, matched
+
     h = hamming(desc_a, desc_b)
     big = jnp.int32(10 ** 6)
     h = jnp.where(valid_a[:, None] & valid_b[None, :], h, big)

@@ -75,6 +75,32 @@ def _residual_one(dpose, dX, pos, q, X, uv_obs, z_obs, cam: CameraConfig):
     return jnp.concatenate([uv - uv_obs, 20.0 * (z - z_obs)[None]])
 
 
+def _inv3x3(A):
+    """Closed-form batched 3x3 inverse via the adjugate — pure elementwise
+    arithmetic (no LAPACK-style lowering), exactly what the VPU wants for
+    (P, 3, 3) landmark blocks."""
+    a, b, c = A[..., 0, 0], A[..., 0, 1], A[..., 0, 2]
+    d, e, f = A[..., 1, 0], A[..., 1, 1], A[..., 1, 2]
+    g, h, i = A[..., 2, 0], A[..., 2, 1], A[..., 2, 2]
+    A11 = e * i - f * h
+    A12 = c * h - b * i
+    A13 = b * f - c * e
+    A21 = f * g - d * i
+    A22 = a * i - c * g
+    A23 = c * d - a * f
+    A31 = d * h - e * g
+    A32 = b * g - a * h
+    A33 = a * e - b * d
+    det = a * A11 + b * A21 + c * A31
+    inv_det = 1.0 / jnp.where(jnp.abs(det) > 1e-12, det, 1e-12)
+    adj = jnp.stack([
+        jnp.stack([A11, A12, A13], -1),
+        jnp.stack([A21, A22, A23], -1),
+        jnp.stack([A31, A32, A33], -1),
+    ], -2)
+    return adj * inv_det[..., None, None]
+
+
 def solve_ba(prob: BAProblem, cam: CameraConfig, cfg: VioConfig,
              iters: int | None = None) -> BAResult:
     K = prob.kf_pos.shape[0]
@@ -152,58 +178,52 @@ def solve_ba(prob: BAProblem, cam: CameraConfig, cfg: VioConfig,
 
         w_rel = jnp.broadcast_to(jnp.asarray(prob.w_rel), (K - 1,))
 
-        # assemble the dense reduced camera system (6K x 6K)
-        H = jnp.zeros((6 * K, 6 * K))
-        g = jnp.zeros(6 * K)
+        # assemble the dense reduced camera system in (K, K, 6, 6) block
+        # form — batched scatter-adds, not a serialized update loop (the
+        # loop version lowered to 6K dependent dynamic_update_slices and
+        # dominated the launch at covisibility window sizes)
+        kk = jnp.arange(K)
+        ii = jnp.arange(K - 1)
+        Hb = jnp.zeros((K, K, 6, 6))
+        Hb = Hb.at[kk, kk].add(H_pp)
+        g = jnp.zeros((K, 6)).at[kk].add(g_p)
 
-        def put_block(H, i, j, blk):
-            return jax.lax.dynamic_update_slice(H, blk, (6 * i, 6 * j))
-
-        # pose-observation diagonal
-        for k in range(K):
-            H = put_block(H, k, k, H_pp[k])
-            g = jax.lax.dynamic_update_slice(g, g_p[k], (6 * k,))
-
-        # relative factors
-        for k in range(K - 1):
-            wk = w_rel[k]
-            H = put_block(H, k, k,
-                          jax.lax.dynamic_slice(H, (6 * k, 6 * k), (6, 6))
-                          + wk * Ji[k].T @ Ji[k])
-            H = put_block(H, k + 1, k + 1,
-                          jax.lax.dynamic_slice(H, (6 * (k + 1), 6 * (k + 1)), (6, 6))
-                          + wk * Jj[k].T @ Jj[k])
-            H = put_block(H, k, k + 1,
-                          jax.lax.dynamic_slice(H, (6 * k, 6 * (k + 1)), (6, 6))
-                          + wk * Ji[k].T @ Jj[k])
-            H = put_block(H, k + 1, k,
-                          jax.lax.dynamic_slice(H, (6 * (k + 1), 6 * k), (6, 6))
-                          + wk * Jj[k].T @ Ji[k])
-            g = jax.lax.dynamic_update_slice(
-                g, jax.lax.dynamic_slice(g, (6 * k,), (6,))
-                + wk * Ji[k].T @ r_rel[k], (6 * k,))
-            g = jax.lax.dynamic_update_slice(
-                g, jax.lax.dynamic_slice(g, (6 * (k + 1),), (6,))
-                + wk * Jj[k].T @ r_rel[k], (6 * (k + 1),))
+        wJi = w_rel[:, None, None] * Ji
+        Hb = Hb.at[ii, ii].add(jnp.einsum("kri,krj->kij", wJi, Ji))
+        Hb = Hb.at[ii + 1, ii + 1].add(jnp.einsum(
+            "kri,krj->kij", w_rel[:, None, None] * Jj, Jj))
+        Hb = Hb.at[ii, ii + 1].add(jnp.einsum("kri,krj->kij", wJi, Jj))
+        Hb = Hb.at[ii + 1, ii].add(jnp.einsum(
+            "kri,krj->kij", w_rel[:, None, None] * Jj, Ji))
+        g = g.at[ii].add(jnp.einsum("kri,kr->ki", wJi, r_rel))
+        g = g.at[ii + 1].add(jnp.einsum(
+            "kri,kr->ki", w_rel[:, None, None] * Jj, r_rel))
 
         # gauge prior on KF 0
         PRIOR_W = 1e4
-        H = put_block(H, 0, 0,
-                      jax.lax.dynamic_slice(H, (0, 0), (6, 6))
-                      + PRIOR_W * jnp.eye(6))
+        Hb = Hb.at[0, 0].add(PRIOR_W * jnp.eye(6))
+
+        H = Hb.transpose(0, 2, 1, 3).reshape(6 * K, 6 * K)
+        g = g.reshape(6 * K)
 
         # Schur complement over landmarks:
         # S = H - sum_p  B_p A_p^-1 B_p^T  with B_p (6K, 3)
-        H_ll_inv = jnp.linalg.inv(
-            H_ll + damping * jnp.eye(3)[None])                  # (P, 3, 3)
+        H_ll_inv = _inv3x3(H_ll + damping * jnp.eye(3)[None])   # (P, 3, 3)
         B = H_pl.transpose(1, 0, 2, 3).reshape(P, 6 * K, 3)     # (P, 6K, 3)
-        S_corr = jnp.einsum("pai,pij,pbj->ab", B, H_ll_inv, B)
-        g_corr = jnp.einsum("pai,pij,pj->a", B, H_ll_inv, g_l)
+        C = jnp.einsum("pai,pij->paj", B, H_ll_inv)             # (P, 6K, 3)
+        # big-contraction matmul form: (6K, 3P) @ (3P, 6K) on the MXU
+        S_corr = jnp.einsum("paj,pbj->ab", C, B)
+        g_corr = jnp.einsum("paj,pj->a", C, g_l)
 
         S = H - S_corr + damping * jnp.eye(6 * K)
         rhs = -(g - g_corr)
-        delta_p = jnp.nan_to_num(jnp.linalg.solve(S, rhs),
-                                 nan=0.0, posinf=0.0, neginf=0.0)
+        # S is symmetric positive definite (damped Schur complement):
+        # Cholesky + two triangular solves, cheaper on TPU than LU
+        L = jnp.linalg.cholesky(S)
+        y = jax.scipy.linalg.solve_triangular(L, rhs, lower=True)
+        delta_p = jnp.nan_to_num(
+            jax.scipy.linalg.solve_triangular(L.T, y, lower=False),
+            nan=0.0, posinf=0.0, neginf=0.0)
 
         # back-substitute landmarks: Δl_p = -A_p^-1 (g_l_p + B_p^T Δp)
         Bt_dp = jnp.einsum("pai,a->pi", B, delta_p)             # (P, 3)

@@ -39,7 +39,11 @@ from nclt_slam_tpu.sensors.features import Observation, cross_check_match
 from nclt_slam_tpu.vio.preintegration import empty_preint, integrate_block, propagate
 
 MAP_CAP = 384
-KF_OBS = 48   # stored observations per keyframe (local-BA factors)
+# Stored observations per keyframe = the live-frame feature cap
+# (LandmarkConfig.max_obs_features): every tracked feature becomes a
+# local-BA factor, so the window is covisibility-scale like ORB-SLAM3's
+# local-mapping BA (SURVEY §2.3 hard part #1) rather than a thin sample.
+KF_OBS = 192
 
 
 class VioAux(NamedTuple):

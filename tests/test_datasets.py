@@ -4,6 +4,7 @@ reference's generate_mock_sensors pattern, seed 42)."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import optax
 import pytest
 
 from nclt_slam_tpu.datasets.calibration import Calibration, xyzrpy_to_matrix
@@ -394,3 +395,125 @@ def test_icp_odometry_pipeline():
     err = np.hypot(*(est_xy - gt[:, :2]).T)
     assert err.max() < 0.5, err
     assert np.asarray(rmses)[1:].max() < 0.2
+
+
+# ---------------------------------------------------------------------------
+# UTM-threshold pair mining (datasets/pairs.py) — the reference's Kaggle
+# protocol (nclt_pairs.py:243-330 + dataset_config.yaml:33-39)
+# ---------------------------------------------------------------------------
+
+
+def _two_session_loop(n_per_session=48, radius=60.0, seed=2):
+    """Two traversals of the same loop with small lateral offsets — revisit
+    distance well inside the 10 m positive threshold, opposite-side poses
+    far beyond the 25 m negative threshold."""
+    rng = np.random.RandomState(seed)
+    coords, session = [], []
+    for s in range(2):
+        t = np.linspace(0, 2 * np.pi, n_per_session, endpoint=False)
+        xy = np.stack([radius * np.cos(t), radius * np.sin(t)], -1)
+        xy += rng.normal(0, 1.5, xy.shape)  # per-session GPS/route offset
+        coords.append(np.concatenate([xy, np.zeros((n_per_session, 1))], 1))
+        session.append(np.full(n_per_session, s))
+    return np.concatenate(coords), np.concatenate(session)
+
+
+def test_mine_pairs_protocol():
+    from nclt_slam_tpu.datasets.pairs import (
+        NUM_NEGATIVES, mine_pairs, sessions_for_split)
+
+    coords, _ = _two_session_loop()
+    pairs = mine_pairs(coords, block=37)  # non-divisor block: seam check
+    assert len(pairs.anchor) > 0
+    d = np.linalg.norm(coords[:, None] - coords[None], axis=-1)
+    for a, p, negs in zip(pairs.anchor, pairs.positive, pairs.negatives):
+        assert a != p
+        assert d[a, p] < 10.0                       # positive inside 10 m
+        # the CLOSEST in-threshold pose was chosen
+        row = d[a].copy()
+        row[a] = np.inf
+        assert p == np.argmin(row)
+        assert len(set(negs.tolist())) == NUM_NEGATIVES  # w/o replacement
+        assert (d[a, negs] > 25.0).all()            # negatives beyond 25 m
+
+    # session-date split registry is disjoint and complete
+    tr, va, te = (sessions_for_split(s) for s in ("train", "val", "test"))
+    assert len(set(tr) | set(va) | set(te)) == len(tr) + len(va) + len(te)
+    with pytest.raises(ValueError):
+        sessions_for_split("dev")
+
+
+def test_place_recognition_on_mined_pairs():
+    """Train the dense-voxel encoder on UTM-mined (anchor, positive,
+    negatives) triples from a fixed world — the reference's MinkLoc
+    training protocol on realistic pairs instead of toy labels — and
+    report Recall@1 under the 10 m-positive retrieval definition."""
+    from nclt_slam_tpu.datasets.pairs import (
+        hard_negatives, mine_pairs, pairs_epoch_batches, triplet_loss_pairs)
+
+    rng = np.random.RandomState(4)
+    coords, session = _two_session_loop()
+    # fixed world: trees scattered randomly along the loop corridor — every
+    # pose sees a unique constellation (no rotational aliasing)
+    t = rng.uniform(0, 2 * np.pi, 160)
+    r = rng.uniform(48.0, 75.0, 160)
+    trees = np.stack([r * np.cos(t), r * np.sin(t)], -1)
+
+    def scan_at(xy):
+        rel = trees - xy[None, :2]
+        dist = np.hypot(*rel.T)
+        near = np.argsort(dist)[:48]
+        pts = []
+        for n in near:
+            z = np.linspace(0.2, 6.0, 6)
+            pts.append(np.stack([np.full(6, rel[n, 0]),
+                                 np.full(6, rel[n, 1]), z], -1))
+        return np.concatenate(pts) + rng.normal(0, 0.15, (48 * 6, 3))
+
+    grids = jnp.stack([
+        voxelize(jnp.asarray(scan_at(c[:2]), jnp.float32),
+                 jnp.ones(288, bool)) for c in coords])
+
+    pairs = mine_pairs(coords, seed=1)
+    params = init_params(jax.random.PRNGKey(3))
+    opt = optax.adam(1e-2)
+    opt_state = opt.init(params)
+
+    def step(p, ost, a, pos, negs):
+        def loss_fn(p):
+            # one fused embed over anchor|positive|negatives — a single
+            # conv batch instead of 7 separate launches
+            B = a.shape[0]
+            e = embed(p, jnp.concatenate(
+                [grids[a], grids[pos], grids[negs.reshape(-1)]], 0))
+            return triplet_loss_pairs(
+                e[:B], e[B:2 * B], e[2 * B:].reshape(B, -1, e.shape[-1]))
+        loss, g = jax.value_and_grad(loss_fn)(p)
+        upd, ost = opt.update(g, ost)
+        return optax.apply_updates(p, upd), ost, loss
+
+    jstep = jax.jit(step)
+    losses = []
+    for epoch in range(3):
+        for a, p, n in pairs_epoch_batches(pairs, batch=16, seed=epoch):
+            params, opt_state, loss = jstep(
+                params, opt_state, jnp.asarray(a), jnp.asarray(p),
+                jnp.asarray(n))
+            losses.append(float(loss))
+
+    # retrieval eval: session-1 queries against the session-0 database,
+    # success = nearest embedding within the 10 m positive threshold
+    emb = embed(params, grids)
+    q, db = session == 1, session == 0
+    d_emb = jnp.linalg.norm(emb[q][:, None] - emb[db][None], axis=-1)
+    nn = np.asarray(jnp.argmin(d_emb, 1))
+    geo = np.linalg.norm(coords[q][:, None] - coords[db][None], axis=-1)
+    hit = geo[np.arange(q.sum()), nn] < 10.0
+    assert losses[-1] < losses[0]
+    assert hit.mean() > 0.6, hit.mean()
+
+    # descriptor-space hard-negative mining returns the k nearest
+    hn = hard_negatives(emb[:4], jnp.tile(emb[None, 4:20], (4, 1, 1)), k=3)
+    dd = np.linalg.norm(np.asarray(emb[:4])[:, None] - np.asarray(emb[4:20])[None], axis=-1)
+    for i in range(4):
+        assert set(np.asarray(hn[i]).tolist()) == set(np.argsort(dd[i])[:3].tolist())

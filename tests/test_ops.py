@@ -53,3 +53,79 @@ def test_plan_window_pallas_path():
     for r, c in path:
         assert not (30 <= r < 34 and 8 <= c < 56), (r, c)
     assert int(res.n_path) > 40
+
+
+# ---------------------------------------------------------------------------
+# fused Hamming cross-check kernel (ops/hamming_pallas.py)
+# ---------------------------------------------------------------------------
+
+
+def test_pallas_cross_check_matches_xla():
+    """Exact agreement of the fused MXU Hamming matcher with the XLA path
+    (sensors/features.cross_check_match) across shapes, including shared
+    rows, invalid slots, and non-tile-aligned sizes."""
+    from nclt_slam_tpu.ops.hamming_pallas import cross_check_pallas
+    from nclt_slam_tpu.sensors.features import hamming
+
+    rng = np.random.RandomState(7)
+    for A, B in ((96, 192), (128, 96), (192, 384), (7, 5), (192, 192)):
+        W = 8
+        da = jnp.asarray(rng.randint(
+            0, 2 ** 32, (A, W), dtype=np.uint64).astype(np.uint32))
+        dbn = rng.randint(0, 2 ** 32, (B, W), dtype=np.uint64).astype(np.uint32)
+        nsh = min(A, B) // 2
+        dbn[:nsh] = np.asarray(da)[rng.permutation(A)[:nsh]]
+        db = jnp.asarray(dbn)
+        va = jnp.asarray(rng.rand(A) > 0.2)
+        vb = jnp.asarray(rng.rand(B) > 0.2)
+
+        # XLA reference path, inlined (cross_check_match itself dispatches
+        # to the kernel on TPU)
+        h = hamming(da, db)
+        big = jnp.int32(10 ** 6)
+        h = jnp.where(va[:, None] & vb[None, :], h, big)
+        best_ab = jnp.argmin(h, axis=1)
+        best_ba = jnp.argmin(h, axis=0)
+        aidx = jnp.arange(A)
+        mutual = best_ba[best_ab] == aidx
+        best_d = h[aidx, best_ab]
+        matched = mutual & (best_d <= 64)
+
+        interp = jax.default_backend() != "tpu"
+        mi, mo, dd = cross_check_pallas(da, va, db, vb, max_dist=64,
+                                        interpret=interp)
+        assert np.array_equal(np.asarray(best_ab), np.asarray(mi)), (A, B)
+        assert np.array_equal(np.asarray(matched), np.asarray(mo)), (A, B)
+        assert np.array_equal(np.asarray(best_d), np.asarray(dd)), (A, B)
+
+
+def test_pallas_cross_check_vmap():
+    """The matcher vmaps cross-check over candidates; the kernel must agree
+    under vmap too."""
+    from nclt_slam_tpu.ops.hamming_pallas import cross_check_pallas
+    from nclt_slam_tpu.sensors.features import hamming
+
+    rng = np.random.RandomState(3)
+    C, A, B, W = 5, 96, 192, 8
+    da = jnp.asarray(rng.randint(
+        0, 2 ** 32, (C, A, W), dtype=np.uint64).astype(np.uint32))
+    db = jnp.asarray(rng.randint(
+        0, 2 ** 32, (B, W), dtype=np.uint64).astype(np.uint32))
+    va = jnp.asarray(rng.rand(C, A) > 0.2)
+    vb = jnp.asarray(rng.rand(B) > 0.2)
+
+    interp = jax.default_backend() != "tpu"
+    mi, mo, dd = jax.vmap(
+        lambda d, v: cross_check_pallas(d, v, db, vb, max_dist=64,
+                                        interpret=interp))(da, va)
+
+    for c in range(C):
+        h = hamming(da[c], db)
+        big = jnp.int32(10 ** 6)
+        h = jnp.where(va[c][:, None] & vb[None, :], h, big)
+        best_ab = jnp.argmin(h, axis=1)
+        best_ba = jnp.argmin(h, axis=0)
+        aidx = jnp.arange(A)
+        matched = (best_ba[best_ab] == aidx) & (h[aidx, best_ab] <= 64)
+        assert np.array_equal(np.asarray(best_ab), np.asarray(mi[c]))
+        assert np.array_equal(np.asarray(matched), np.asarray(mo[c]))

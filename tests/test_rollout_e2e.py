@@ -24,6 +24,8 @@ from nclt_slam_tpu.scene.routes import DENSE_CAP, Route
 from nclt_slam_tpu.scene.terrain import terrain_height
 from nclt_slam_tpu.sensors.features import build_scene_features
 
+pytestmark = pytest.mark.slow
+
 
 def small_config():
     base = cfg_mod.gt_localization()
@@ -90,7 +92,9 @@ def tiny_scene(drop_on_path=True):
         base_z=jnp.asarray(base_z), height=jnp.asarray(height),
         valid=jnp.asarray(valid), drop_mask=jnp.asarray(drop_mask),
         feat_xyz=feats.xyz, feat_desc=feats.desc,
-        feat_owner=feats.owner, feat_valid=feats.valid)
+        feat_owner=feats.owner, feat_valid=feats.valid,
+        feat_pkeep=feats.pkeep, feat_view_thr=feats.view_thr,
+        feat_view_alpha=feats.view_alpha)
 
 
 def pack_test_route(route, cfg):

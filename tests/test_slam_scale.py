@@ -4,6 +4,7 @@
 import sys
 from pathlib import Path
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -28,6 +29,8 @@ from nclt_slam_tpu.datasets.slam.pipeline import (  # noqa: E402
     run_icp_odometry_scan,
     run_slam,
 )
+
+pytestmark = pytest.mark.slow
 
 
 def small_session(n_scans=40, n_pts=192):

@@ -5,6 +5,7 @@ Reference behavior being modeled: nav2_stock_params.yaml:26-81 (RPP +
 progress checker), waypoint_follower_client.py:66-163 (client-side WP
 projection), routes/README.md:229-242 (stall failure modes)."""
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -21,6 +22,8 @@ from nclt_slam_tpu.planning.dispatcher import (
     init_dispatch,
     stock_project_waypoints,
 )
+
+pytestmark = pytest.mark.slow
 
 CFG = RppConfig()
 

@@ -8,6 +8,7 @@ after a settling period.
 
 import dataclasses
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -18,6 +19,8 @@ from nclt_slam_tpu.rollout import run_teach
 from nclt_slam_tpu.vio.drift_monitor import procrustes_drift_masked
 
 from test_rollout_e2e import pack_test_route, small_config, straight_route, tiny_scene
+
+pytestmark = pytest.mark.slow
 
 
 def test_procrustes_masked_matches_numpy():

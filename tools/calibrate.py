@@ -1,0 +1,207 @@
+"""Perception-calibration harness: our campaign statistics vs the reference's.
+
+The reference logs three behavior oracles this tool compares against:
+
+- per-route teach drift mean/max (drift_monitor.log summaries,
+  simulation/isaac/routes/README.md:24-40)
+- per-route repeat reach / return / coverage / drift for the ours stack
+  (routes/README.md:132-151)
+- the anchor-attempt outcome distribution + publish-shift spread
+  (experiments/76_rgbd_no_imu_ours/results/run_09/anchor_matches.csv,
+  logged by visual_landmark_matcher.py:224-279)
+
+Usage:
+    python tools/calibrate.py [--routes 08_nw_sw,01_road,02_north_forest]
+        [--mode ours|rgbd] [--ticks 12000] [--teach-ticks 9000]
+        [--platform tpu|cpu] [--json OUT.json]
+
+Prints a per-route table of ours-vs-reference and the aggregate deltas the
+calibration loop tunes against.
+"""
+
+from __future__ import annotations
+
+import argparse
+import collections
+import json
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+# Reference teach drift mean/max [m] (routes/README.md:24-40; 03 unrecorded)
+REF_TEACH_DRIFT = {
+    "01_road": (0.45, 0.69), "02_north_forest": (0.38, 0.91),
+    "04_nw_se": (0.64, 1.10), "05_ne_sw": (0.48, 0.99),
+    "06_nw_ne": (0.65, 1.18), "07_se_sw": (0.42, 1.00),
+    "08_nw_sw": (0.34, 0.72), "09_se_ne": (0.40, 0.64),
+    "10_nmid_smid": (0.52, 0.78), "11_nw_mid": (0.48, 0.82),
+    "12_ne_mid": (0.52, 0.86), "13_cross_nws": (0.55, 0.94),
+    "14_se_mid": (0.43, 0.71), "15_wmid_smid": (0.58, 0.96),
+}
+
+# Reference ours-stack repeat results (routes/README.md:132-151):
+# (reach_m, return_m, cov_pct, drift_mean, drift_p95, drift_max)
+REF_REPEAT_OURS = {
+    "01_road": (0.6, 12.3, 96, 1.4, 2.2, 2.3),
+    "02_north_forest": (1.0, 24.2, 52, 4.4, 10.1, 12.1),
+    "03_south": (5.7, 5.9, 89, 2.0, 3.4, 3.6),
+    "04_nw_se": (7.8, 5.0, 58, 5.3, 9.4, 10.0),
+    "05_ne_sw": (2.5, 31.4, 81, 9.9, 37.7, 38.0),
+    "06_nw_ne": (5.3, 10.2, 60, 5.7, 9.1, 9.2),
+    "07_se_sw": (0.6, 14.7, 74, 3.8, 5.8, 5.9),
+    "08_nw_sw": (3.1, 3.0, 86, 0.9, 1.9, 2.0),
+    "09_se_ne": (3.7, 4.0, 81, 5.2, 5.7, 5.7),
+    "10_nmid_smid": (4.2, 4.8, 82, 3.0, 3.8, 3.9),
+    "11_nw_mid": (3.1, 5.2, 80, 2.0, 2.8, 2.8),
+    "12_ne_mid": (1.1, 11.8, 83, 5.2, 7.3, 7.7),
+    "13_cross_nws": (2.6, 28.7, 61, 18.8, 24.1, 25.3),
+    "14_se_mid": (3.7, 2.7, 28, 2.6, 5.1, 5.1),
+    "15_wmid_smid": (4.8, 6.5, 50, 7.2, 11.5, 11.8),
+}
+
+# Anchor outcome distribution oracle (exp 76 run_09 anchor_matches.csv,
+# 680 attempts): fractions per outcome family + publish-shift stats [m]
+REF_ANCHOR = {
+    "published": 0.381, "no_pnp_accept": 0.450, "no_candidates": 0.128,
+    "consistency_fail": 0.041,
+    "shift_median": 0.45, "shift_p90": 1.9, "inliers_mean": 12.7,
+}
+
+REASON_NAMES = {0: "published", 1: "no_candidates", 2: "no_features",
+                3: "no_pnp_accept", 4: "consistency_fail"}
+
+
+def run(route_names, mode: str, teach_ticks: int, repeat_ticks: int,
+        platform: str):
+    import jax
+
+    if platform == "cpu":
+        jax.config.update("jax_platforms", "cpu")
+    import numpy as np
+
+    from nclt_slam_tpu import config
+    from nclt_slam_tpu.baselines.configs import rgbd_no_imu, stock_nav2
+    from nclt_slam_tpu.eval.metrics import procrustes_drift_2d
+    from nclt_slam_tpu.rollout.campaign import (
+        build_campaign, campaign_metrics, run_campaign_repeat,
+        run_campaign_teach, teach_waypoints)
+
+    cfg = {"ours": config.ours, "rgbd": rgbd_no_imu,
+           "stock": stock_nav2, "encoder": config.encoder_only}[mode]()
+
+    data = build_campaign(route_names, cfg=cfg)
+    teach_cfg = cfg  # teach always runs the full VIO for drift recording
+    teach = run_campaign_teach(data, teach_cfg, n_ticks=teach_ticks)
+    wps, n_wps = teach_waypoints(data, teach, teach_cfg)
+    rep = run_campaign_repeat(data, teach.teach_grid, wps, n_wps, cfg,
+                              n_ticks=repeat_ticks, stores=teach.store)
+    per_route, agg = campaign_metrics(data, rep, wps, n_wps, cfg)
+
+    # --- teach drift (drift-monitor equivalent: aligned VIO vs GT) ---
+    tvio = np.asarray(teach.trace.vio_xy)
+    tgt = np.asarray(teach.trace.gt_xy)
+    tdone = np.asarray(teach.trace.done)
+    teach_drift = {}
+    for i, name in enumerate(data.names):
+        n = int((~tdone[i]).sum())
+        sl = slice(200, max(n, 201))  # skip VIO warmup, like the monitor's
+        #                               settling window
+        vio3 = np.concatenate([tvio[i][sl], np.zeros((tvio[i][sl].shape[0], 1))], 1)
+        mx, mean = procrustes_drift_2d(vio3, tgt[i][sl])
+        teach_drift[name] = (mean, mx)
+
+    # --- anchor outcome distribution ---
+    reasons = np.asarray(rep.trace.anchor_reason)
+    shifts = np.asarray(rep.trace.anchor_shift)
+    inliers = np.asarray(rep.trace.anchor_inliers)
+    ok = np.asarray(rep.trace.anchor_ok)
+    anchor = {}
+    for i, name in enumerate(data.names):
+        att = reasons[i] >= 0
+        n_att = int(att.sum())
+        hist = collections.Counter(reasons[i][att].tolist())
+        frac = {REASON_NAMES[k]: v / max(n_att, 1) for k, v in hist.items()}
+        sh = shifts[i][ok[i]]
+        inl = inliers[i][ok[i]]
+        anchor[name] = {
+            "attempts": n_att, "frac": frac,
+            "shift_median": float(np.median(sh)) if len(sh) else 0.0,
+            "shift_p90": float(np.percentile(sh, 90)) if len(sh) else 0.0,
+            "inliers_mean": float(inl.mean()) if len(inl) else 0.0,
+        }
+
+    return data.names, per_route, agg, teach_drift, anchor
+
+
+def report(names, per_route, agg, teach_drift, anchor, mode):
+    print(f"\n=== calibration report (mode={mode}) ===")
+    print(f"{'route':<16} {'teach m/mx':>12} {'ref':>10} | "
+          f"{'drift m/p95':>12} {'ref':>10} | {'cov%':>5} {'ref':>4} | "
+          f"{'reach':>6} {'ret':>6}")
+    for name in names:
+        m = per_route[name]
+        td = teach_drift.get(name, (0, 0))
+        rt = REF_TEACH_DRIFT.get(name)
+        rr = REF_REPEAT_OURS.get(name)
+        print(f"{name:<16} {td[0]:>5.2f}/{td[1]:>5.2f} "
+              f"{(f'{rt[0]:>4.2f}/{rt[1]:>4.2f}' if rt else '   n/a'):>10} | "
+              f"{m['drift_mean']:>5.1f}/{m['drift_p95']:>5.1f} "
+              f"{(f'{rr[3]:>4.1f}/{rr[4]:>4.1f}' if rr else '   n/a'):>10} | "
+              f"{m['cov_pct']:>5.0f} {(rr[2] if rr else 0):>4.0f} | "
+              f"{m['final_d']:>6.1f} {m['return_d']:>6.1f}")
+
+    # anchor outcome aggregate
+    tot = sum(a["attempts"] for a in anchor.values())
+    frac = collections.Counter()
+    for a in anchor.values():
+        for k, v in a["frac"].items():
+            frac[k] += v * a["attempts"] / max(tot, 1)
+    print(f"\nanchor outcomes over {tot} attempts (ref in parens):")
+    for k in ("published", "no_pnp_accept", "no_candidates",
+              "consistency_fail", "no_features"):
+        print(f"  {k:<18} {frac.get(k, 0) * 100:>5.1f} % "
+              f"({REF_ANCHOR.get(k, 0) * 100:.1f} %)")
+    med = [a["shift_median"] for a in anchor.values() if a["attempts"]]
+    p90 = [a["shift_p90"] for a in anchor.values() if a["attempts"]]
+    inl = [a["inliers_mean"] for a in anchor.values() if a["attempts"]]
+    import numpy as np
+    if med:
+        print(f"  publish shift median {np.mean(med):.2f} m "
+              f"(ref {REF_ANCHOR['shift_median']}) | p90 {np.mean(p90):.2f} "
+              f"(ref {REF_ANCHOR['shift_p90']}) | inliers {np.mean(inl):.1f} "
+              f"(ref {REF_ANCHOR['inliers_mean']})")
+    print(f"\naggregate: reach {agg['reach']}/{agg['routes']} "
+          f"return {agg['return']}/{agg['routes']} "
+          f"cov {agg['avg_coverage_pct']:.0f}% "
+          f"drift {agg['avg_drift_mean']:.2f} m "
+          f"(ref ours: 15/15, 8/15, 70%, 5.2 m)")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--routes", default="08_nw_sw,01_road,02_north_forest")
+    ap.add_argument("--mode", default="ours",
+                    choices=["ours", "rgbd", "stock", "encoder"])
+    ap.add_argument("--ticks", type=int, default=12000)
+    ap.add_argument("--teach-ticks", type=int, default=9000)
+    ap.add_argument("--platform", default="tpu", choices=["tpu", "cpu"])
+    ap.add_argument("--json", default=None)
+    args = ap.parse_args()
+
+    from nclt_slam_tpu.scene.routes import ALL_ROUTES
+
+    routes = (list(ALL_ROUTES) if args.routes == "all"
+              else args.routes.split(","))
+    names, per_route, agg, teach_drift, anchor = run(
+        routes, args.mode, args.teach_ticks, args.ticks, args.platform)
+    report(names, per_route, agg, teach_drift, anchor, args.mode)
+    if args.json:
+        out = {"mode": args.mode, "per_route": per_route, "agg": agg,
+               "teach_drift": teach_drift, "anchor": anchor}
+        Path(args.json).write_text(json.dumps(out, indent=1, default=float))
+        print(f"wrote {args.json}")
+
+
+if __name__ == "__main__":
+    main()
