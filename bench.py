@@ -204,7 +204,11 @@ def _bench_ba(batch: int = 64, iters: int = 8, K: int | None = None,
     cfg = cfg_mod.DEFAULT
     rng = np.random.RandomState(0)
     K = K or cfg.vio.window_kf
-    P = P or cfg.vio.max_points
+    # P follows the rollout's local-BA problem size: the newest keyframe's
+    # observed map slots (tracker.KF_OBS)
+    if P is None:
+        from nclt_slam_tpu.vio.tracker import KF_OBS
+        P = KF_OBS
 
     def mk(seed):
         r = np.random.RandomState(seed)

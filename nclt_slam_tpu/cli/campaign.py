@@ -20,7 +20,7 @@ def main(argv=None):
     ap.add_argument("--mode", default="ours",
                     choices=["ours", "gt", "encoder", "rgbd", "stock"])
     ap.add_argument("--out", required=True)
-    ap.add_argument("--teach-ticks", type=int, default=9000)
+    ap.add_argument("--teach-ticks", type=int, default=12000)
     ap.add_argument("--repeat-ticks", type=int, default=12000)
     ap.add_argument("--no-obstacles", dest="obstacles", action="store_false",
                     default=True)

@@ -103,6 +103,17 @@ class CameraConfig:
     depth_bias_scale_m: float = 30.0   # spatial correlation length
     px_bias_amp: float = 0.7           # pixel offset bias amplitude [px]
     px_bias_scale_m: float = 40.0
+    # rotational motion blur: a 30 ms exposure at |ω| = 0.8 rad/s smears
+    # ~1.4° ≈ 8 px across the image — ORB detection collapses and surviving
+    # corners localize poorly.  Scales feature dropout and pixel noise with
+    # the commanded yaw rate, which makes the stop-turn-go repeat drive
+    # (planner corrections, detours, recoveries) measurably harder on the
+    # VIO than the smooth teach chase — the reference's repeat-vs-teach
+    # drift asymmetry (README.md:24-40 vs :132-151) without touching the
+    # teach-phase model.
+    blur_drop_per_radps: float = 0.6   # extra dropout fraction per rad/s
+    blur_pkeep_floor: float = 0.30     # dropout floor under heavy blur
+    px_blur_per_radps: float = 1.5     # pixel-noise multiplier per rad/s
 
 
 @_frozen
@@ -112,13 +123,15 @@ class EncoderConfig:
     dist_noise: float = 0.005          # 0.5 % distance noise
     compass_noise: float = 0.05        # rad white noise on yaw
     # rate-gyro compass drift (rad/s bias random-walk applied to the heading
-    # source).  0 = the reference's absolute-compass model; > 0 models a
-    # gyro-integrated heading whose bias random-walks — the physically
-    # honest model for a Husky with no magnetometer, and the campaign
-    # default so localization ablations separate like the reference's
-    # (an absolute compass made encoder-only DR an unrealistically strong
-    # fallback in round 1).
-    compass_drift: float = 0.03
+    # source).  0 = the reference's absolute-compass model (v55.py:662-664:
+    # "compass+gyro fusion = GT yaw + noise" — white, not integrated), which
+    # bounds encoder-DR error at meters over a route and is what keeps the
+    # reference's no-anchor drift in the 1-5 m band.  The r2 default of
+    # 0.03 random-walked DR error to ~25 m over a 400 m no-anchor stretch —
+    # a failure magnitude the reference stack cannot exhibit.  The drifting
+    # model remains the encoder_only() ablation's sensor (where an absolute
+    # compass would make pure DR an unrealistically strong baseline).
+    compass_drift: float = 0.0
 
 
 @_frozen
@@ -153,19 +166,19 @@ class FusionConfig:
     align_max_gt_disp: float = 0.15
     align_max_yaw_std_deg: float = 0.5
     # yaw source.  v55 takes yaw from the encoder compass alone (:585) —
-    # correct for its absolute-compass sensor.  With the rate-gyro compass
-    # model (EncoderConfig.compass_drift > 0) heading bias random-walks,
-    # so the stack must take yaw from the aligned SLAM pose while tracking
-    # (what any VIO-backed stack does when it has no magnetometer); the
-    # encoder remains the fallback.  Set False for strict v55 replay parity.
-    fuse_slam_yaw: bool = True
+    # correct for its absolute-compass sensor, and the parity default now
+    # that EncoderConfig.compass_drift defaults to 0.  Set True only with
+    # a drifting-compass encoder model (encoder heading bias random-walks,
+    # so yaw must come from the aligned SLAM pose while tracking).
+    fuse_slam_yaw: bool = False
     # anchor feedback onto the dead-reckoning integrator.  v55's simulated
-    # encoder held an absolute compass, so its DR error stayed bounded and
-    # anchors only entered the position blend (:559-584).  With the
-    # rate-gyro compass model the DR error random-walks unbounded, so the
-    # relay resets its DR reference toward each accepted anchor — standard
-    # teach-and-repeat practice.  0 = strict v55 (no feedback).
-    anchor_enc_feedback: float = 0.5
+    # encoder holds an absolute compass, so its DR error stays bounded and
+    # anchors only enter the position blend (:559-584) — 0 is strict v55
+    # parity and the default.  With a drifting compass the DR error
+    # random-walks unbounded and the relay must reset its DR reference
+    # toward each accepted anchor (set ~0.5, as encoder_only-style
+    # ablations do).
+    anchor_enc_feedback: float = 0.0
 
 
 @_frozen
@@ -180,7 +193,13 @@ class LandmarkConfig:
     # repeat's return had no anchor candidates at all (reference uses an
     # unbounded python list, recorder.py:290-297; we need a static cap).
     max_landmarks: int = 384
-    feats_per_landmark: int = 96       # fixed per-landmark feature cap
+    # Fixed per-landmark feature cap.  192 (= the live-frame cap) rather
+    # than a thin sample: the reference stores 500 ORB features per teach
+    # snapshot and its successful PnPs average 31.8 inliers
+    # (anchor_matches.csv best_n_inliers) — a 96-feature store capped our
+    # success inliers at ~14, which kept every published anchor in the
+    # weak-covariance band (std 0.2) and starved the v55 'strong' regime.
+    feats_per_landmark: int = 192
     ground_v_threshold: float = 180.0  # below-horizon pixel gate (recorder v>180)
     depth_patch_std_max: float = 0.30  # 3x3 depth std gate [m]
     record_min_feats: int = 12         # min gated 3-D points per landmark
@@ -262,7 +281,7 @@ class LandmarkConfig:
     # where the reference's ORB starves — deep forest and long diagonals.
     feat_dropout: float = 0.06         # base per-tick dropout probability
     clutter_radius_m: float = 9.0      # neighborhood for the clutter count
-    clutter_drop_per_tree: float = 0.004  # extra dropout per nearby collider
+    clutter_drop_per_tree: float = 0.002  # extra dropout per nearby collider
     clutter_free_trees: int = 3        # clutter count where penalty starts
     feat_pkeep_min: float = 0.60       # dropout floor (never fully blind)
 
@@ -531,8 +550,14 @@ def gt_localization() -> Config:
 
 
 def encoder_only() -> Config:
+    """Pure encoder+compass dead-reckoning ablation (no reference analog).
+
+    Uses the rate-gyro drifting-compass model: with the reference's
+    absolute compass, pure DR would be an unrealistically strong baseline
+    (bounded heading error ⇒ meters of positional drift over any route)."""
     return Config(mode=LocalizationMode(use_slam=False, use_anchors=False,
-                                        use_imu=False, use_gt=False))
+                                        use_imu=False, use_gt=False),
+                  encoder=EncoderConfig(compass_drift=0.03))
 
 
 def rgbd_no_imu() -> Config:

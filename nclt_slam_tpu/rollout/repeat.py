@@ -145,8 +145,13 @@ def repeat_step(carry: RepeatCarry, tick, scene: PackedScene,
         # 200 Hz synthetic IMU over this tick's substep trajectory
         imu, imu_meas = imu_block(carry.imu, pos_traj, quat_traj,
                                   1.0 / cfg.sim.physics_hz, k_fuse, cfg.imu)
+        # dropped obstacles block the line of sight to teach-time features
+        occluders = (scene.xy, scene.radius, scene.base_z, scene.height,
+                     valid_now & scene.drop_mask,
+                     jnp.arange(scene.xy.shape[0], dtype=jnp.int32))
         obs = observe(pos3, robot.yaw, _scene_features(scene), valid_now,
-                      k_obs, cfg.camera, cfg.landmarks)
+                      k_obs, cfg.camera, cfg.landmarks,
+                      yaw_rate=carry.cmd[1], occluders=occluders)
 
         if mode.use_slam:
             vio, slam_ok, vio_aux = vio_frame(

@@ -136,7 +136,7 @@ def teach_step(carry: TeachCarry, tick, scene: PackedScene, route: PackedRoute,
         imu, imu_meas = imu_block(carry.imu, pos_traj, quat_traj,
                                   1.0 / cfg.sim.physics_hz, k_imu, cfg.imu)
         obs = observe(pos3, robot.yaw, _scene_features(scene), valid_teach,
-                      k_obs, cfg.camera, cfg.landmarks)
+                      k_obs, cfg.camera, cfg.landmarks, yaw_rate=w)
         vio, _, _vaux = vio_frame(carry.vio, obs, imu_meas,
                            cfg.sim.nav_decimation / cfg.sim.physics_hz,
                            GRAVITY, cfg.camera, cfg.vio, True)
@@ -165,7 +165,7 @@ def teach_step(carry: TeachCarry, tick, scene: PackedScene, route: PackedRoute,
                                dvalid.reshape(-1), cfg.map)
         obs_l = obs if obs is not None else observe(
             pos3, robot.yaw, _scene_features(scene), valid_teach, k_obs,
-            cfg.camera, cfg.landmarks)
+            cfg.camera, cfg.landmarks, yaw_rate=w)
         cam_p, _ = camera_pose(pos3, robot.yaw, cfg.camera)
         store = record_tick(store, obs_l, cam_p, robot.yaw, cfg.camera,
                             cfg.landmarks)

@@ -161,12 +161,23 @@ class Observation(NamedTuple):
 
 
 def observe(base_pos, yaw, feats: SceneFeatures, obs_valid_now,
-            key, cam: CameraConfig, cfg: LandmarkConfig) -> Observation:
+            key, cam: CameraConfig, cfg: LandmarkConfig,
+            yaw_rate=0.0, occluders=None) -> Observation:
     """Project scene features through the camera; gate, occlude, and corrupt.
 
     obs_valid_now: (N_colliders,) current collider validity (drops may have
     been removed) — features of removed colliders disappear.
+    yaw_rate: commanded |ω| this tick — drives the rotational motion-blur
+    degradation (CameraConfig.blur_drop_per_radps).
+    occluders: optional (xy (M, 2), radius (M,), base_z (M,), height (M,),
+    active (M,)) cylinders that geometrically block the line of sight —
+    the repeat pass feeds the route's dropped obstacles here (cone walls /
+    prop clusters standing between the camera and the teach-time scene,
+    spawn_obstacles.py), which is what makes the obstacle corridor degrade
+    both the repeat VIO and the anchor matcher in the reference.  Teach
+    passes no occluders (drops absent).
     """
+    blur = jnp.abs(jnp.float32(yaw_rate))
     origin, R_wc = camera_pose(base_pos, yaw, cam)
     rel = feats.xyz - origin[None, :]
     p_cam = rel @ R_wc  # world->cam: R^T @ rel, row-vec form
@@ -185,7 +196,11 @@ def observe(base_pos, yaw, feats: SceneFeatures, obs_valid_now,
     # the spatially-varying starvation that makes dense-forest stretches
     # genuinely hard for the VIO, like the reference's ORB texture deserts
     k_drop, key = jax.random.split(key)
-    kept = jax.random.bernoulli(k_drop, feats.pkeep)
+    # rotational motion blur scales the keep probability down with |ω|
+    pkeep = jnp.maximum(
+        feats.pkeep * (1.0 - cam.blur_drop_per_radps * blur),
+        cam.blur_pkeep_floor)
+    kept = jax.random.bernoulli(k_drop, pkeep)
     vis = in_img & in_depth & alive & kept
 
     # Occlusion is handled statistically by the descriptor-noise model (a
@@ -210,10 +225,31 @@ def observe(base_pos, yaw, feats: SceneFeatures, obs_valid_now,
         sel_valid = jnp.concatenate(
             [jnp.isfinite(score[order]), jnp.zeros(K - S, bool)])
 
+    # geometric line-of-sight occlusion by novel obstacles: a feature whose
+    # camera ray passes through an active occluder cylinder (below its top)
+    # is blocked.  Runs on the K selected features only (K x M tests).
+    if occluders is not None:
+        oxy, orad, oz0, oh, oact, oidx = occluders
+        sel_xyz = feats.xyz[idx]                      # (K, 3)
+        d2d = sel_xyz[:, :2] - origin[None, :2]       # (K, 2)
+        L2 = jnp.maximum((d2d ** 2).sum(-1), 1e-6)    # (K,)
+        mo = oxy - origin[None, :2]                   # (M, 2)
+        t = (mo[None, :, :] * d2d[:, None, :]).sum(-1) / L2[:, None]  # (K, M)
+        between = (t > 0.05) & (t < 0.95)
+        closest = t[..., None] * d2d[:, None, :]      # (K, M, 2) from cam
+        gap2 = ((closest - mo[None]) ** 2).sum(-1)    # (K, M)
+        ray_z = origin[2] + t * (sel_xyz[:, 2:3] - origin[2])
+        blocked = (between & (gap2 < (orad ** 2)[None]) & oact[None]
+                   & (ray_z < (oz0 + oh)[None])
+                   & (feats.owner[idx][:, None] != oidx[None])).any(-1)
+        sel_valid = sel_valid & ~blocked
+
     # observation noise: pixel jitter + depth noise + descriptor bit flips
     k1, k2, k3, k4, k5 = jax.random.split(key, 5)
     uv = jnp.stack([u[idx], v[idx]], -1)
-    uv = uv + cam.px_noise * jax.random.normal(k1, uv.shape)
+    # surviving corners localize worse under blur (smeared gradients)
+    px_sigma = cam.px_noise * (1.0 + cam.px_blur_per_radps * blur)
+    uv = uv + px_sigma * jax.random.normal(k1, uv.shape)
     # correlated systematic pointing bias (see CameraConfig.px_bias_amp):
     # locally constant, so it does NOT average away across features — the
     # error source that actually accumulates into VIO drift

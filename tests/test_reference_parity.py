@@ -1,108 +1,134 @@
-"""Replay parity harness (SURVEY.md hard part #6): feed the reference's own
-recorded run data through OUR implementations and diff against the values
-the reference itself computed and stored.
+"""Behavior-statistics parity against the reference's logged outcomes.
 
-Skipped when the reference checkout isn't mounted."""
+The reference's only recorded behavioral trace is the anchor-attempt log
+``anchor_matches.csv`` (written by visual_landmark_matcher.py:224-279; the
+surviving copy lives in experiments/76_rgbd_no_imu_ours/results/run_09).
+SURVEY hard part #3 requires validating our match/inlier/false-match
+statistics against its outcome distribution.  Three layers:
 
-from pathlib import Path
+1. oracle integrity: parse the reference CSV and pin the derived stats
+   (fractions, shift quantiles, inlier mean) that tools/calibrate.py and
+   the artifact test use — if the constants drift from the CSV, this fails.
+2. artifact parity: the committed calibration artifact
+   (artifacts/calibration/ours.json, produced by ``python tools/calibrate.py
+   --routes ... --json ...`` on the TPU) must match the reference
+   distribution within tolerance.
+3. live distribution sanity (slow): a short CPU campaign must produce all
+   outcome families in reference-like proportions.
+"""
 
+from __future__ import annotations
+
+import collections
+import csv
 import json
+import re
+from pathlib import Path
 
 import numpy as np
 import pytest
 
-REF = Path("/root/reference/simulation/isaac")
-ROAD_TEACH = REF / "routes/01_road/teach/teach/road"
+REPO = Path(__file__).resolve().parent.parent
+REF_CSV = Path("/root/reference/simulation/isaac/experiments/"
+               "76_rgbd_no_imu_ours/results/run_09/anchor_matches.csv")
+ARTIFACT = REPO / "artifacts" / "calibration" / "ours.json"
 
-needs_ref = pytest.mark.skipif(not ROAD_TEACH.is_dir(),
-                               reason="reference checkout not mounted")
-
-
-@needs_ref
-def test_procrustes_drift_matches_reference_exactly():
-    """Our 4-flip Procrustes on the reference's recorded teach run must
-    reproduce the drift values the reference computed for that run
-    (routes/01_road/.../metrics.json: max 0.6935, mean 0.4488)."""
-    from nclt_slam_tpu.eval.metrics import procrustes_drift_2d
-
-    raw = np.loadtxt(ROAD_TEACH / "vio_pose_dense.csv", delimiter=",",
-                     skiprows=1, ndmin=2)
-    vio = raw[:, 2:5]        # vio_x, vio_y, vio_z
-    gt = raw[:, 9:11]        # gt_x, gt_y
-    d_max, d_mean = procrustes_drift_2d(vio, gt)
-
-    ref = json.loads((ROAD_TEACH / "metrics.json").read_text())
-    assert abs(d_max - ref["drift_max"]) < 1e-3, (d_max, ref["drift_max"])
-    assert abs(d_mean - ref["drift_mean"]) < 1e-3, (d_mean, ref["drift_mean"])
+# derived from REF_CSV (680 attempts); test_reference_csv_parse pins these
+REF_FRAC = {"published": 0.381, "no_pnp_accept": 0.450,
+            "no_candidates": 0.128, "consistency_fail": 0.041}
+REF_SHIFT_MEDIAN = 1.2
+REF_SHIFT_P90 = 3.3
+REF_INLIERS_MEAN = 31.8
 
 
-@needs_ref
-def test_ate_on_reference_world_trajectories():
-    """Our Umeyama ATE on the reference's world-aligned VIO/GT pair lands
-    on the same error level as its stored drift_mean."""
-    from nclt_slam_tpu.eval.metrics import ate_rmse
-
-    vw = np.loadtxt(ROAD_TEACH / "traj_vio_world.csv", delimiter=",",
-                    skiprows=1, ndmin=2)
-    gw = np.loadtxt(ROAD_TEACH / "traj_gt_world.csv", delimiter=",",
-                    skiprows=1, ndmin=2)
-    n = min(len(vw), len(gw))
-    ate = ate_rmse(vw[:n, :2], gw[:n, :2])
-    ref = json.loads((ROAD_TEACH / "metrics.json").read_text())
-    assert abs(ate - ref["drift_mean"]) < 0.1, (ate, ref["drift_mean"])
-
-
-@needs_ref
-def test_our_pgm_loader_reads_reference_teach_map():
-    """Format parity: the reference's real teach_map.pgm decodes through our
-    native codec AND the artefact loader, with the expected trinary values."""
-    from nclt_slam_tpu.io.native import pgm_decode
-
-    img = pgm_decode((ROAD_TEACH / "teach_map.pgm").read_bytes())
-    assert img.shape == (250, 1850)
-    vals = set(np.unique(img).tolist())
-    assert vals <= {0, 205, 254}
-    assert (img == 0).sum() > 1000       # occupied cells present
-
-    from nclt_slam_tpu.io.artifacts import load_teach_map
-
-    grid, res, origin = load_teach_map(ROAD_TEACH / "teach_map")
-    assert grid.shape == (250, 1850)
-    assert set(np.unique(grid).tolist()) <= {0, 1, 2}
-    assert res == 0.1
+def parse_reference_csv(path=REF_CSV):
+    rows = list(csv.DictReader(open(path)))
+    fam = collections.Counter()
+    shifts, inliers = [], []
+    for r in rows:
+        o = r["outcome"]
+        if o.startswith("published"):
+            fam["published"] += 1
+            m = re.search(r"shift([0-9.]+)", o)
+            if m:
+                shifts.append(float(m.group(1)))
+            inliers.append(int(r["best_n_inliers"]))
+        elif o.startswith("consistency_fail"):
+            fam["consistency_fail"] += 1
+        else:
+            fam[o] += 1
+    n = len(rows)
+    return ({k: v / n for k, v in fam.items()}, np.asarray(shifts),
+            np.asarray(inliers), n)
 
 
-@needs_ref
-def test_endpoint_metrics_on_reference_stock_run():
-    """Our endpoint metric flags on the recorded exp-74 stock run reproduce
-    the published qualitative outcome for 09_se_ne (reached the turnaround,
-    failed the return — routes/_common/metrics.json)."""
-    from nclt_slam_tpu.eval.metrics import endpoint_metrics
-    from nclt_slam_tpu.io.artifacts import load_traj_gt
-
-    run = REF / "experiments/74_pure_stock_nav2_baseline/results/run_09"
-    if not run.is_dir():
-        pytest.skip("exp74 run_09 not present")
-    gt = load_traj_gt(run / "traj_gt.csv")
-    assert len(gt) > 1000
-    spawn, turn = (65.0, -35.0), (65.0, 35.0)
-    final_d, return_d, reached, returned = endpoint_metrics(gt, spawn, turn)
-    pub = json.loads(
-        (REF / "routes/_common/metrics.json").read_text())["09_se_ne"][
-        "exp 74 stock"]
-    assert reached == pub["reached_final"]
-    assert returned == pub["returned_spawn"]
+@pytest.mark.skipif(not REF_CSV.exists(), reason="reference CSV not present")
+def test_reference_csv_parse():
+    """The oracle constants must equal what the CSV actually contains."""
+    frac, shifts, inliers, n = parse_reference_csv()
+    assert n == 680
+    for k, v in REF_FRAC.items():
+        assert abs(frac.get(k, 0.0) - v) < 0.005, (k, frac.get(k))
+    assert abs(np.median(shifts) - REF_SHIFT_MEDIAN) < 0.05
+    assert abs(np.percentile(shifts, 90) - REF_SHIFT_P90) < 0.15
+    assert abs(inliers.mean() - REF_INLIERS_MEAN) < 0.5
 
 
-@needs_ref
-def test_subsample_matches_reference_teach_wps():
-    """Our 4 m WP subsample on the reference's dense teach poses produces a
-    plausible WP list spanning the recorded route."""
-    from nclt_slam_tpu.eval.metrics import subsample_wps
-    from nclt_slam_tpu.io.artifacts import load_vio_pose_dense
+@pytest.mark.skipif(not ARTIFACT.exists(),
+                    reason="calibration artifact not generated yet")
+def test_calibration_artifact_distribution():
+    """The committed TPU calibration run must land inside the reference's
+    outcome-distribution bands (the 'distribution tests green' criterion of
+    the behavior-calibration milestone)."""
+    d = json.loads(ARTIFACT.read_text())
+    anchor = d["anchor"]
+    tot = sum(a["attempts"] for a in anchor.values())
+    assert tot > 1000, "artifact too small to be a real calibration run"
+    frac = collections.Counter()
+    for a in anchor.values():
+        for k, v in a["frac"].items():
+            frac[k] += v * a["attempts"] / tot
 
-    gt = load_vio_pose_dense(ROAD_TEACH / "vio_pose_dense.csv")
-    wps = subsample_wps(gt, 4.0)
-    assert 30 < len(wps) < 120
-    gaps = np.hypot(*np.diff(wps, axis=0).T)
-    assert gaps.min() >= 4.0 - 1e-6
+    # outcome-family fractions within absolute bands of the reference
+    assert abs(frac.get("published", 0) - REF_FRAC["published"]) < 0.12
+    assert abs(frac.get("no_pnp_accept", 0)
+               - REF_FRAC["no_pnp_accept"]) < 0.15
+    assert frac.get("no_candidates", 0) < 0.30
+
+    # publish-shift spread: same order of magnitude as the reference's
+    # (fused error at anchor time — the inter-anchor drift signature)
+    med = np.mean([a["shift_median"] for a in anchor.values()
+                   if a["attempts"]])
+    assert 0.15 < med < 3.0, med
+
+    # teach drift must land in the reference's per-route band
+    # (routes/README.md:24-40: means 0.34-0.65 m, max <= 1.18 m)
+    td = [v[0] for v in d["teach_drift"].values()]
+    assert 0.2 < float(np.mean(td)) < 1.1, td
+
+
+@pytest.mark.slow
+def test_live_outcome_families():
+    """Short CPU campaign: every outcome family the reference logs must
+    occur, with published somewhere in the plausible band."""
+    import jax
+
+    from nclt_slam_tpu import config
+    from nclt_slam_tpu.rollout.campaign import (
+        build_campaign, run_campaign_repeat, run_campaign_teach,
+        teach_waypoints)
+
+    cfg = config.ours()
+    data = build_campaign(["08_nw_sw"], cfg=cfg)
+    teach = run_campaign_teach(data, cfg, n_ticks=1800)
+    wps, n_wps = teach_waypoints(data, teach, cfg)
+    rep = run_campaign_repeat(data, teach.teach_grid, wps, n_wps, cfg,
+                              n_ticks=1800, stores=teach.store)
+    reasons = np.asarray(rep.trace.anchor_reason)[0]
+    att = reasons[reasons >= 0]
+    assert len(att) > 100
+    frac = collections.Counter(att.tolist())
+    published = frac.get(0, 0) / len(att)
+    no_pnp = frac.get(3, 0) / len(att)
+    assert 0.10 < published < 0.75, published
+    assert no_pnp > 0.10, no_pnp

@@ -61,11 +61,13 @@ REF_REPEAT_OURS = {
 }
 
 # Anchor outcome distribution oracle (exp 76 run_09 anchor_matches.csv,
-# 680 attempts): fractions per outcome family + publish-shift stats [m]
+# 680 attempts): fractions per outcome family + publish-shift stats [m],
+# parsed from the CSV itself (outcome strings carry _shiftN.N; inliers
+# from best_n_inliers on published rows)
 REF_ANCHOR = {
     "published": 0.381, "no_pnp_accept": 0.450, "no_candidates": 0.128,
     "consistency_fail": 0.041,
-    "shift_median": 0.45, "shift_p90": 1.9, "inliers_mean": 12.7,
+    "shift_median": 1.2, "shift_p90": 3.3, "inliers_mean": 31.8,
 }
 
 REASON_NAMES = {0: "published", 1: "no_candidates", 2: "no_features",
@@ -184,7 +186,7 @@ def main():
     ap.add_argument("--mode", default="ours",
                     choices=["ours", "rgbd", "stock", "encoder"])
     ap.add_argument("--ticks", type=int, default=12000)
-    ap.add_argument("--teach-ticks", type=int, default=9000)
+    ap.add_argument("--teach-ticks", type=int, default=12000)
     ap.add_argument("--platform", default="tpu", choices=["tpu", "cpu"])
     ap.add_argument("--json", default=None)
     args = ap.parse_args()
