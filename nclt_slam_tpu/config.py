@@ -165,6 +165,12 @@ class FusionConfig:
     align_window: int = 50
     align_max_gt_disp: float = 0.15
     align_max_yaw_std_deg: float = 0.5
+    # stack bring-up: max ticks the repeat rollout holds the robot at spawn
+    # waiting for the one-time alignment to commit (the reference's launch
+    # sequencing — Nav2 goals are only sent after relay+SLAM bring-up,
+    # run_repeat_ours.sh).  Commit normally lands ~60 ticks in; the cap
+    # only guards a VIO that cannot initialize.
+    startup_hold_ticks: int = 300
     # yaw source.  v55 takes yaw from the encoder compass alone (:585) —
     # correct for its absolute-compass sensor, and the parity default now
     # that EncoderConfig.compass_drift defaults to 0.  Set True only with

@@ -85,6 +85,7 @@ class RepeatTrace(NamedTuple):
     anchor_reason: jax.Array   # matcher outcome code; -1 = no attempt tick
     anchor_shift: jax.Array    # |anchor - nav| on publish (anchor_matches.csv)
     anchor_inliers: jax.Array  # best-candidate inlier count
+    vio_xy: jax.Array       # raw VIO base xy (VIO frame); zeros if no VIO
     vio_tracked: jax.Array  # VIO match count
     vio_ndesc: jax.Array    # VIO descriptor matches pre-projection-gate
     vio_nins: jax.Array     # VIO map insertions this frame
@@ -273,11 +274,26 @@ def repeat_step(carry: RepeatCarry, tick, scene: PackedScene,
     v = jnp.where(dispatch.done, 0.0, v)
     w = jnp.where(dispatch.done, 0.0, w)
 
+    # --- stack bring-up hold (run_repeat_ours.sh phases 2-3) ---
+    # The reference launcher starts Nav2 / goal-sending only after the v55
+    # relay has committed its one-time 50-sample SLAM alignment; the robot
+    # sits at spawn through bring-up.  Driving pre-commit would publish the
+    # relay's naive per-tick fallback — which equals GT by construction
+    # (tf_wall_clock_relay_v55.py:396-404) and so silently hides all VIO
+    # drift from the fused output.  Bounded so a never-committing alignment
+    # (VIO can't init) still times out into the drive rather than deadlock.
+    if mode.use_slam and not mode.use_gt:
+        hold = (~fusion.committed) & \
+            (tick < cfg.fusion.startup_hold_ticks)
+        v = jnp.where(hold, 0.0, v)
+        w = jnp.where(hold, 0.0, w)
+
     has_aux = (not mode.use_gt) and mode.use_slam
     trace = RepeatTrace(
         gt_xy=robot.xy, gt_yaw=gt_yaw, nav_xy=nav_xy,
         regime=regime, anchor_ok=anchor_ok, anchor_reason=anchor_reason,
         anchor_shift=anchor_shift, anchor_inliers=anchor_inliers,
+        vio_xy=vio.pos[:2] if mode.use_slam else jnp.zeros(2),
         vio_tracked=vio.n_tracked if not mode.use_gt else jnp.int32(-1),
         vio_ndesc=vio_aux.n_desc if has_aux else jnp.int32(-1),
         vio_nins=vio_aux.n_ins if has_aux else jnp.int32(-1),
