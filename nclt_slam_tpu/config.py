@@ -491,7 +491,19 @@ class VioConfig:
     # get a depth (stereo/RGB-D) constraint; farther points are
     # depth-unreliable and are not inserted as map points
     th_depth_m: float = 8.0
-    enable_local_ba: bool = True       # sliding-window BA in the repeat loop
+    # Sliding-window BA write-back in the repeat loop.  Default OFF on
+    # measurement: with the streaming estimator (per-frame GN + running-mean
+    # point refinement over every re-observation) the window BA is
+    # information-destroying — it re-fits map points to the <= window_kf
+    # recorded historical rows and raw VIO drift degrades 0.07 -> 0.36 m
+    # over 120 m in every integration variant tried (pose-composed,
+    # trust-scaled, obs-count point priors, map-only write-back).
+    # ORB-SLAM3 NEEDS local BA because stereo triangulation demands
+    # multi-view optimization; the RGB-D streaming design measurably does
+    # not.  solve_ba remains the batched flagship kernel (bench BA sweep,
+    # tests/test_ba.py) and this flag turns the in-rollout write-back on
+    # for ablation studies.
+    enable_local_ba: bool = False
     # motion-model plausibility gate: reject a frame's optimized pose when it
     # jumps further than this from the inertial/constant-velocity prediction
     # (ORB-SLAM3 discards such frames as tracking failures rather than

@@ -45,6 +45,15 @@ class BAProblem(NamedTuple):
     rel_dp: jax.Array      # (K-1, 3) measured relative translation (body i)
     rel_dq: jax.Array      # (K-1, 4) measured relative rotation
     w_rel: jax.Array       # () or (K-1,) relative-factor weight
+    # optional per-point position prior anchoring each landmark at its input
+    # estimate.  The rollout's map points are running-mean estimates over
+    # every frame's re-observation (vio/tracker.py) — far more observations
+    # than the window's <= K recorded rows.  Without the prior, BA re-fits
+    # those points to the sparser historical sample and destroys
+    # information (measured: raw VIO drift 0.09 -> 0.44 m).  Weight is in
+    # the same units as one pixel^2 residual; None/0 = free point (the
+    # synthetic-benchmark configuration).
+    pt_prior_w: jax.Array | None = None  # (P,) or None
 
 
 class BAResult(NamedTuple):
@@ -72,7 +81,14 @@ def _residual_one(dpose, dX, pos, q, X, uv_obs, z_obs, cam: CameraConfig):
     q_new = quat_mul(q, so3_exp(dpose[:3]))
     pos_new = pos + dpose[3:]
     uv, z = _project_point(pos_new, q_new, X + dX, cam)
-    return jnp.concatenate([uv - uv_obs, 20.0 * (z - z_obs)[None]])
+    # depth whitened by the stereo noise model sigma_z ~ k*z^2 (same model
+    # the sensor applies, sensors/features.py) and expressed in
+    # pixel-equivalent units (1 sigma == 2 px) so the Huber scale is shared.
+    # A constant heavy weight here let far-point depth noise (sigma 0.3-1 m
+    # beyond 10 m) dominate the whole window and actively degrade the pose.
+    sigma_z = jnp.maximum(0.02, cam.depth_noise_rel_per_m * z_obs * z_obs)
+    return jnp.concatenate([uv - uv_obs,
+                            (2.0 * (z - z_obs) / sigma_z)[None]])
 
 
 def _inv3x3(A):
@@ -143,11 +159,15 @@ def solve_ba(prob: BAProblem, cam: CameraConfig, cfg: VioConfig,
         Jp = jac_pose(pos, quat, pts, prob.obs_uv, prob.obs_z)  # (K, P, 3, 6)
         Jl = jac_point(pos, quat, pts, prob.obs_uv, prob.obs_z)  # (K, P, 3, 3)
 
-        # Huber on the pixel residual
+        # Huber on the pixel residual + separate robust cap on the whitened
+        # depth component (3 sigma = 6 px-equivalent) so one gross depth
+        # outlier cannot steer the window
         r_norm = jnp.linalg.norm(r[..., :2], axis=-1)
         hub = jnp.where(r_norm <= cfg.huber_px, 1.0,
                         cfg.huber_px / jnp.maximum(r_norm, 1e-6))
-        w = prob.obs_w * hub                                    # (K, P)
+        rz = jnp.abs(r[..., 2])
+        hub_z = jnp.where(rz <= 6.0, 1.0, 6.0 / jnp.maximum(rz, 1e-6))
+        w = prob.obs_w * hub * hub_z                            # (K, P)
 
         Jpw = Jp * w[..., None, None]
         Jlw = Jl * w[..., None, None]
@@ -205,6 +225,11 @@ def solve_ba(prob: BAProblem, cam: CameraConfig, cfg: VioConfig,
 
         H = Hb.transpose(0, 2, 1, 3).reshape(6 * K, 6 * K)
         g = g.reshape(6 * K)
+
+        # per-point position prior toward the input estimate (see BAProblem)
+        if prob.pt_prior_w is not None:
+            H_ll = H_ll + prob.pt_prior_w[:, None, None] * jnp.eye(3)[None]
+            g_l = g_l + prob.pt_prior_w[:, None] * (pts - prob.points)
 
         # Schur complement over landmarks:
         # S = H - sum_p  B_p A_p^-1 B_p^T  with B_p (6K, 3)

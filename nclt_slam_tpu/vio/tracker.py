@@ -33,6 +33,7 @@ from nclt_slam_tpu.core.quat import (
     quat_rotate,
     quat_to_mat,
     so3_exp,
+    so3_log,
 )
 from nclt_slam_tpu.sensors.depth import R_BASE_CAM
 from nclt_slam_tpu.sensors.features import Observation, cross_check_match
@@ -413,6 +414,9 @@ def local_ba(state: VioState, cam: CameraConfig, cfg: VioConfig) -> VioState:
     """Sliding-window local BA over the keyframe ring (ORB-SLAM3's
     local-mapping BA, run at a uniform cadence from the rollout).
 
+    OFF by default (VioConfig.enable_local_ba) — measured to degrade the
+    streaming estimator it feeds; see the config comment for the numbers.
+
     The window's landmark set is the newest keyframe's observed map slots;
     observation weights for older keyframes come from slot-id matching, so
     all shapes stay fixed.  Optimized poses update the keyframe ring and
@@ -451,45 +455,61 @@ def local_ba(state: VioState, cam: CameraConfig, cfg: VioConfig) -> VioState:
     dp = jax.vmap(lambda qi, pi, pj: quat_to_mat(qi).T @ (pj - pi))(
         kf_quat[:-1], kf_pos[:-1], kf_pos[1:])
 
+    # anchor each point at its running-mean estimate, weight ~ one pixel^2
+    # residual per prior re-observation (capped: very old points stay
+    # slightly adjustable)
+    pt_prior = 0.5 * jnp.minimum(
+        state.map_obs[slots], 100).astype(jnp.float32)
     prob = BAProblem(
         kf_pos=kf_pos, kf_quat=kf_quat, points=pts0,
         obs_uv=obs_uv, obs_z=obs_z, obs_w=obs_w,
-        rel_dp=dp, rel_dq=dq, w_rel=jnp.float32(10.0))
+        rel_dp=dp, rel_dq=dq, w_rel=jnp.float32(10.0),
+        pt_prior_w=pt_prior)
     res = solve_ba(prob, cam, cfg, iters=3)
 
     finite = (jnp.isfinite(res.kf_pos).all() & jnp.isfinite(res.kf_quat).all()
               & jnp.isfinite(res.points).all())
-    # sanity gate on the correction magnitude: an ill-conditioned window
-    # (collapsed geometry, aliased observations) can yield a finite but
-    # wildly wrong solution; writing it back teleports the pose/map and the
-    # tracker's plausibility gate then rejects every subsequent frame.
-    # ORB-SLAM3's g2o window is better conditioned (covisibility factors);
-    # ours must bound the trust region instead.
+    # Trust region instead of all-or-nothing rejection: a max-correction
+    # gate of 0.5 m/1 m rejected essentially EVERY solve on live windows
+    # (one outlier-corrupted point or a genuinely correctable 0.6 m pose
+    # error vetoed the whole solution, leaving the BA permanently dormant).
+    # ORB-SLAM3's g2o applies damped steps; we scale the window correction
+    # so the largest keyframe move is <= ba_trust_m (direction-preserving)
+    # and only discard a wildly diverged solve.
+    TRUST_M = 0.5
+    WILD_M = 5.0
     d_kf = jnp.linalg.norm(res.kf_pos - kf_pos, axis=-1).max()
-    wb_pt = obs_w.sum(0) >= 2          # only these points get written back
-    d_pt = jnp.where(wb_pt, jnp.linalg.norm(res.points - pts0, axis=-1),
-                     0.0).max()
-    sane = (d_kf <= 0.5) & (d_pt <= 1.0)
+    scale = jnp.minimum(1.0, TRUST_M / jnp.maximum(d_kf, 1e-6))
+    ba_pos = kf_pos + scale * (res.kf_pos - kf_pos)
+    drot = jax.vmap(lambda q0, q1: so3_log(quat_mul(quat_conj(q0), q1)))(
+        kf_quat, res.kf_quat)
+    ba_quat = jax.vmap(lambda q0, dr: quat_mul(q0, so3_exp(scale * dr)))(
+        kf_quat, drot)
+    ba_quat = ba_quat / jnp.linalg.norm(ba_quat, axis=-1, keepdims=True)
     enough = (obs_w.sum() >= 12) & (state.kf_valid.sum() >= 3) & finite \
-        & sane & (~state.lost)
+        & (d_kf <= WILD_M) & (~state.lost)
 
     # write back: keyframes (undo the chronological reorder)
     inv = jnp.argsort(order)
-    new_kf_pos = jnp.where(enough, res.kf_pos[inv], state.kf_pos)
-    new_kf_quat = jnp.where(enough, res.kf_quat[inv], state.kf_quat)
+    new_kf_pos = jnp.where(enough, ba_pos[inv], state.kf_pos)
+    new_kf_quat = jnp.where(enough, ba_quat[inv], state.kf_quat)
 
-    # current pose correction = newest KF delta, left-composed
-    d_pos = res.kf_pos[-1] - kf_pos[-1]
-    dq_new = quat_mul(res.kf_quat[-1], quat_conj(kf_quat[-1]))
-    pos_new = jnp.where(enough, state.pos + d_pos, state.pos)
-    q_new = jnp.where(enough, quat_mul(dq_new, state.q), state.q)
-    q_new = q_new / jnp.linalg.norm(q_new)
+    # The live pose is NOT composed with the BA delta: the newest KF is up
+    # to kf_min_disp of travel stale, and left-composing its correction
+    # onto a pose the per-frame GN has already re-estimated against the
+    # live map injects stale noise (measured: raw VIO drift 0.09 -> 0.51 m
+    # with composition, either trust-scaled or priored).  ORB-SLAM3's
+    # local-mapping BA likewise never touches the tracker's pose directly —
+    # the tracker benefits through the refined map/keyframes only.
 
-    # map write-back for window points
-    valid_pt = wb_pt              # seen by >= 2 KFs
+    # map write-back: per-point gating (seen by >= 2 KFs, bounded move) —
+    # an outlier-yanked landmark no longer vetoes its window-mates
+    wb_pt = obs_w.sum(0) >= 2
+    d_pt = jnp.linalg.norm(res.points - pts0, axis=-1)
+    valid_pt = wb_pt & (d_pt <= 1.0)
     map_xyz = state.map_xyz.at[slots].set(
         jnp.where((valid_pt & enough)[:, None], res.points,
                   state.map_xyz[slots]))
 
-    return state._replace(pos=pos_new, q=q_new, kf_pos=new_kf_pos,
-                          kf_quat=new_kf_quat, map_xyz=map_xyz)
+    return state._replace(kf_pos=new_kf_pos, kf_quat=new_kf_quat,
+                          map_xyz=map_xyz)

@@ -187,3 +187,21 @@ def test_degraded_compass_drifts():
             jnp.array(False), jnp.int32(i), k)
     err_good = np.hypot(float(nx2) - 0.1 * (n - 1), float(ny2))
     assert err_bad > 3 * err_good + 1.0, (err_bad, err_good)
+
+
+def test_driving_from_tick0_never_commits_and_publishes_gt():
+    """The alignment window needs < align_max_gt_disp of GT motion over 50
+    samples; a robot that drives from tick 0 restarts it forever, and the
+    pre-commit per-tick fallback publishes GT VERBATIM — the failure mode
+    that silently hid all VIO drift from the fused output until the repeat
+    rollout gained its stack bring-up hold (rollout/repeat.py)."""
+    n = 200
+    xs = [0.3 * i * 0.1 for i in range(n)]       # 0.3 m/s from the start
+    ys = [0.0] * n
+    yaws = [0.0] * n
+    st, out = run_track(xs, ys, yaws)
+    assert not bool(st.committed)
+    # fallback output == GT up to float32 matrix roundtrip (the silent-GT
+    # hazard this documents: no honest VIO channel is that accurate)
+    err = np.hypot(out[:, 0] - np.asarray(xs), out[:, 1] - np.asarray(ys))
+    assert err.max() < 0.02, err.max()
