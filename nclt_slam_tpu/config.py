@@ -83,7 +83,10 @@ class CameraConfig:
     # which made the VIO unrealistically accurate at range; the quadratic
     # model restores the drift the reference's ORB-SLAM3 exhibits without
     # anchors.
-    px_noise: float = 2.0
+    # 2.0 px starved the anchor RANSAC: with a 3 px inlier gate the core
+    # that fits was pinned at ~14 inliers vs the CSV's 31.8 mean (r3
+    # calibration); 1.0 px is the honest ORB figure
+    px_noise: float = 1.0
     depth_noise_rel_per_m: float = 0.003
     # gross depth outliers (stereo mismatch on repetitive bark/foliage,
     # specular leaves): a D435i in foliage shows a few % of wild depths.
@@ -114,6 +117,11 @@ class CameraConfig:
     blur_drop_per_radps: float = 0.6   # extra dropout fraction per rad/s
     blur_pkeep_floor: float = 0.30     # dropout floor under heavy blur
     px_blur_per_radps: float = 1.5     # pixel-noise multiplier per rad/s
+    # repeat-session systematic pointing bias [px] (sensors/features.py):
+    # cross-session lighting moves apparent corner positions; applied by
+    # the repeat rollout only (teach recorded the reference session), so
+    # it raises repeat VIO drift without touching the teach drift band.
+    px_bias_session_amp: float = 0.35
 
 
 @_frozen
@@ -205,7 +213,7 @@ class LandmarkConfig:
     # (anchor_matches.csv best_n_inliers) — a 96-feature store capped our
     # success inliers at ~14, which kept every published anchor in the
     # weak-covariance band (std 0.2) and starved the v55 'strong' regime.
-    feats_per_landmark: int = 192
+    feats_per_landmark: int = 256
     ground_v_threshold: float = 180.0  # below-horizon pixel gate (recorder v>180)
     depth_patch_std_max: float = 0.30  # 3x3 depth std gate [m]
     record_min_feats: int = 12         # min gated 3-D points per landmark
@@ -247,8 +255,8 @@ class LandmarkConfig:
     # the true feature is occluded/dropped.  desc_classes=0 restores the
     # round-2 globally-unique-random model (no aliasing).
     desc_words: int = 8                # 8 x uint32 = 256-bit descriptors
-    desc_noise_bits: float = 20.0      # mean flipped bits per observation
-    desc_classes: int = 16             # texture codebook size (0 = unique)
+    desc_noise_bits: float = 14.0      # mean flipped bits per observation
+    desc_classes: int = 24             # texture codebook size (0 = unique)
     desc_unique_bits: float = 30.0     # mean bits from class prototype
     # viewpoint-dependent corruption: ORB patches decorrelate continuously
     # with viewpoint change (~fully by 60-70°).  Each feature bit carries a
@@ -269,7 +277,19 @@ class LandmarkConfig:
     # (anchor_matches.csv outcome stats).  Each scene feature gets a fixed
     # random flip mask of ~this many bits applied to every repeat-session
     # observation.
-    session_shift_bits: float = 12.0
+    # Bimodal appearance model (r3 calibration): ALIVE features shift a
+    # few bits (published anchors then reach reference-level inlier counts)
+    # while a session_dead_frac of colliders flip ~session_dead_bits
+    # (unmatchable in the repeat session).  A single intermediate value
+    # (10-12 bits everywhere) cannot reproduce the CSV's bimodal outcomes:
+    # it pinned inliers at ~14-20 with either 23 % or 80 % published.
+    session_shift_bits: float = 4.0
+    session_dead_frac: float = 0.65    # fraction of appearance cells dead
+    session_dead_cell_m: float = 24.0  # appearance death cell size [m]
+    session_dead_bits: float = 128.0   # flip bits for dead cells: 48 left
+    # true pairs at Hamming ~64-76 — still the mutual-NN winner against
+    # ~128-distance decoys, so 'dead' zones kept matching (r3 iterI, 94 %
+    # published); 128 = fully decorrelated = genuinely unmatchable
     # cross-session detector overlap: the fraction of teach-session
     # keypoints that are re-detected in the repeat session.  ORB detection
     # is unstable under lighting change — moved shadows promote different
@@ -279,8 +299,9 @@ class LandmarkConfig:
     # sink the PnP inlier count, the reference's dominant no_pnp_accept
     # mechanism (45 % of attempts, anchor_matches.csv).  1.0 = stable
     # detector (round-2 behavior).
-    session_overlap: float = 0.55
-    max_obs_features: int = 192        # live-frame feature cap
+    # (0.55 pushed no_pnp_accept to 77 % vs the CSV's 45 % — same r3 run)
+    session_overlap: float = 0.88
+    max_obs_features: int = 256        # live-frame feature cap
     # per-tick feature dropout (motion blur, exposure, foliage occlusion).
     # Clutter-scaled: features inside dense tree clusters drop more often
     # (intervening trunks + canopy shadow), which starves the VIO exactly

@@ -152,7 +152,8 @@ def repeat_step(carry: RepeatCarry, tick, scene: PackedScene,
                      jnp.arange(scene.xy.shape[0], dtype=jnp.int32))
         obs = observe(pos3, robot.yaw, _scene_features(scene), valid_now,
                       k_obs, cfg.camera, cfg.landmarks,
-                      yaw_rate=carry.cmd[1], occluders=occluders)
+                      yaw_rate=carry.cmd[1], occluders=occluders,
+                      px_session_amp=cfg.camera.px_bias_session_amp)
 
         if mode.use_slam:
             vio, slam_ok, vio_aux = vio_frame(

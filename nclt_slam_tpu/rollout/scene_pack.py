@@ -78,9 +78,34 @@ def pack_scene(scene: SceneColliders, drops: RouteDrops | None = None,
                                  seed=feat_seed * 131 + session)
         desc = feats.desc
         if cfg.landmarks.session_shift_bits > 0:
-            # appearance shift on the surviving (shared) keypoints
+            # appearance shift on the surviving (shared) keypoints, with
+            # per-collider appearance DEATH: a fraction of trees/props are
+            # effectively unrecognizable in the repeat session (sun-angle /
+            # shadow flip kills that view's ORB responses wholesale) — the
+            # mechanism behind the reference's bimodal anchor outcomes
+            # (failed attempts have best_n_inliers ~ 0, not 8-9, and
+            # published ones average 31.8; anchor_matches.csv) and its
+            # spatial anchor droughts.
+            lm = cfg.landmarks
+            # Appearance death is keyed on the feature's WORLD-POSITION
+            # cell (trees die together with the floor beneath them): canopy
+            # sun patches / moved shadows wipe whole neighborhoods at once.
+            # The cell must cover a view cone (~camera range), otherwise a
+            # landmark's features straddle several cells and some chunk is
+            # always alive — measured: per-collider + 8 m-cell death left
+            # published at 79 % vs the CSV's 38 %.  Zone-scale death is what
+            # produces the reference's bimodal outcomes AND its multi-tens-
+            # of-meters anchor droughts.
+            fxy = np.asarray(feats.xyz)[:, :2]
+            cell = np.floor(fxy / lm.session_dead_cell_m).astype(np.int64)
+            h = (cell[:, 0] * 73856093) ^ (cell[:, 1] * 19349663) ^ \
+                (feat_seed * 83492791 + session)
+            cell_u = ((h * 2654435761) % (2 ** 32)) / float(2 ** 32)
+            dead = cell_u < lm.session_dead_frac
+            bits = np.where(dead, lm.session_dead_bits,
+                            lm.session_shift_bits)
             masks = session_shift_masks(
-                np.asarray(desc).shape, cfg.landmarks.session_shift_bits,
+                np.asarray(desc).shape, bits,
                 seed=feat_seed * 7919 + session)
             desc = jnp.asarray(np.asarray(desc) ^ masks)
     else:

@@ -25,8 +25,11 @@ import numpy as np
 from nclt_slam_tpu.config import CameraConfig, LandmarkConfig
 from nclt_slam_tpu.sensors.depth import camera_pose
 
-FEATS_PER_OBJ = 12  # 1/3 on the trunk, 2/3 on the ground apron around it
-_TRUNK_FEATS = 4    # features on the collider wall; the rest are apron
+FEATS_PER_OBJ = 24  # 1/4 on the trunk, 3/4 on the ground apron around it
+# (12 starved the anchor funnel: stored 44 / live 109 / mutual ~11 ->
+#  inliers pinned ~16 vs the CSV's 31.8; real ORB frames carry ~1000
+#  corners and the recorder stores 500 — r3 calibration)
+_TRUNK_FEATS = 6    # features on the collider wall; the rest are apron
 
 
 class SceneFeatures(NamedTuple):
@@ -40,7 +43,7 @@ class SceneFeatures(NamedTuple):
     view_alpha: jnp.ndarray  # (S,) per-feature anchor azimuth [rad]
 
 
-GROUND_DENSITY = 0.25  # forest-floor texture features per m^2
+GROUND_DENSITY = 0.6  # forest-floor texture features per m^2
 
 
 def build_scene_features(obs_xy: np.ndarray, obs_r: np.ndarray,
@@ -162,7 +165,8 @@ class Observation(NamedTuple):
 
 def observe(base_pos, yaw, feats: SceneFeatures, obs_valid_now,
             key, cam: CameraConfig, cfg: LandmarkConfig,
-            yaw_rate=0.0, occluders=None) -> Observation:
+            yaw_rate=0.0, occluders=None,
+            px_session_amp: float = 0.0) -> Observation:
     """Project scene features through the camera; gate, occlude, and corrupt.
 
     obs_valid_now: (N_colliders,) current collider validity (drops may have
@@ -259,6 +263,20 @@ def observe(base_pos, yaw, feats: SceneFeatures, obs_valid_now,
         vb = _bias_field(origin[0], origin[1], cam.px_bias_scale_m,
                          (1.7, 3.9, 5.6))
         uv = uv + cam.px_bias_amp * jnp.stack([ub, vb])[None, :]
+    # repeat-session pointing bias: changed lighting/shadows between the
+    # teach recording and the repeat drive move the apparent corner
+    # positions systematically (a different-session ORB localizes the same
+    # physical corner 1-2 px away).  Separate phases from the per-session
+    # calibration field above; teach passes px_session_amp=0, so this is
+    # the error source that makes the repeat VIO drift harder than the
+    # teach VIO at equal speed — the reference's repeat-vs-teach drift
+    # asymmetry (routes/README.md:24-40 vs :132-151).
+    if px_session_amp > 0:
+        us = _bias_field(origin[0], origin[1], cam.px_bias_scale_m,
+                         (5.2, 1.1, 3.3))
+        vs = _bias_field(origin[0], origin[1], cam.px_bias_scale_m,
+                         (0.9, 4.7, 2.4))
+        uv = uv + px_session_amp * jnp.stack([us, vs])[None, :]
     p3d = p_cam[idx]
     # stereo-depth error: sigma_z/z = depth_noise_rel_per_m * z (quadratic
     # absolute error, like D435i disparity-limited depth)
@@ -352,13 +370,16 @@ def resample_session(feats: SceneFeatures, cfg, seed: int) -> SceneFeatures:
                           view_alpha=jnp.asarray(alpha))
 
 
-def session_shift_masks(shape, bits: float, seed: int) -> np.ndarray:
+def session_shift_masks(shape, bits, seed: int) -> np.ndarray:
     """Fixed per-feature XOR masks with ~``bits`` set bits out of 32*W —
     the cross-session appearance gap (LandmarkConfig.session_shift_bits).
+    ``bits`` may be a scalar or a per-feature (S,) array (the per-collider
+    appearance-death model passes bimodal values).
     Host-side numpy: runs once at scene-pack time."""
     S, W = shape
     rng = np.random.RandomState(seed & 0x7FFFFFFF)
-    p = min(bits / (32.0 * W), 0.5)
+    p = np.minimum(np.asarray(bits, np.float64) / (32.0 * W), 0.5)
+    p = np.broadcast_to(p, (S,))[:, None, None]
     bits_arr = rng.random_sample((S, W, 32)) < p
     weights = (1 << np.arange(32, dtype=np.uint64))
     return (bits_arr * weights[None, None, :]).sum(-1).astype(np.uint32)

@@ -60,6 +60,26 @@ REF_REPEAT_OURS = {
     "15_wmid_smid": (4.8, 6.5, 50, 7.2, 11.5, 11.8),
 }
 
+# Reference stock-Nav2 repeat results (exp 74, routes/README.md:160-178):
+# stall stack — reach 2/15, coverage 17 %, return 0/15
+REF_REPEAT_STOCK = {
+    "01_road": (56.1, 85.0, 36, 1.2, 2.8, 3.4),
+    "02_north_forest": (155.0, 16.7, 3, 2.2, 3.9, 3.9),
+    "03_south": (149.9, 21.3, 8, 1.7, 2.5, 4.2),
+    "04_nw_se": (144.8, 21.1, 8, 1.6, 2.9, 3.0),
+    "05_ne_sw": (132.7, 38.1, 10, 1.3, 2.0, 2.0),
+    "06_nw_ne": (110.5, 62.0, 19, 2.3, 3.8, 3.9),
+    "07_se_sw": (116.4, 29.9, 8, 1.0, 2.0, 2.6),
+    "08_nw_sw": (0.7, 81.2, 42, 0.5, 0.9, 1.0),
+    "09_se_ne": (8.7, 12.6, 61, 0.6, 1.0, 1.8),
+    "10_nmid_smid": (71.0, 12.8, 5, 0.0, 0.0, 0.0),
+    "11_nw_mid": (70.1, 17.1, 5, 1.1, 2.0, 2.4),
+    "12_ne_mid": (39.0, 53.7, 20, 3.8, 7.4, 7.9),
+    "13_cross_nws": (39.9, 22.9, 24, 2.6, 5.2, 5.5),
+    "14_se_mid": (32.9, 143.9, 0, 1.2, 1.5, 13.9),
+    "15_wmid_smid": (62.5, 32.9, 7, 1.4, 2.6, 3.4),
+}
+
 # Anchor outcome distribution oracle (exp 76 run_09 anchor_matches.csv,
 # 680 attempts): fractions per outcome family + publish-shift stats [m],
 # parsed from the CSV itself (outcome strings carry _shiftN.N; inliers
@@ -74,12 +94,19 @@ REASON_NAMES = {0: "published", 1: "no_candidates", 2: "no_features",
                 3: "no_pnp_accept", 4: "consistency_fail"}
 
 
-def run(route_names, mode: str, teach_ticks: int, repeat_ticks: int,
-        platform: str):
+def _set_platform(platform: str):
+    """Must run before ANY nclt_slam_tpu import — package import touches jnp,
+    which initializes the default (axon) backend; when the TPU tunnel is
+    down that init hangs forever."""
     import jax
 
     if platform == "cpu":
         jax.config.update("jax_platforms", "cpu")
+
+
+def run(route_names, mode: str, teach_ticks: int, repeat_ticks: int,
+        platform: str):
+    _set_platform(platform)
     import numpy as np
 
     from nclt_slam_tpu import config
@@ -137,6 +164,7 @@ def run(route_names, mode: str, teach_ticks: int, repeat_ticks: int,
 
 
 def report(names, per_route, agg, teach_drift, anchor, mode):
+    ref_repeat = REF_REPEAT_STOCK if mode == "stock" else REF_REPEAT_OURS
     print(f"\n=== calibration report (mode={mode}) ===")
     print(f"{'route':<16} {'teach m/mx':>12} {'ref':>10} | "
           f"{'drift m/p95':>12} {'ref':>10} | {'cov%':>5} {'ref':>4} | "
@@ -145,7 +173,7 @@ def report(names, per_route, agg, teach_drift, anchor, mode):
         m = per_route[name]
         td = teach_drift.get(name, (0, 0))
         rt = REF_TEACH_DRIFT.get(name)
-        rr = REF_REPEAT_OURS.get(name)
+        rr = ref_repeat.get(name)
         print(f"{name:<16} {td[0]:>5.2f}/{td[1]:>5.2f} "
               f"{(f'{rt[0]:>4.2f}/{rt[1]:>4.2f}' if rt else '   n/a'):>10} | "
               f"{m['drift_mean']:>5.1f}/{m['drift_p95']:>5.1f} "
@@ -191,6 +219,7 @@ def main():
     ap.add_argument("--json", default=None)
     args = ap.parse_args()
 
+    _set_platform(args.platform)
     from nclt_slam_tpu.scene.routes import ALL_ROUTES
 
     routes = (list(ALL_ROUTES) if args.routes == "all"
