@@ -44,6 +44,10 @@ class DispatchState(NamedTuple):
     reached_count: jax.Array  # () int32
     skipped_count: jax.Array  # () int32
     done: jax.Array           # () bool — all WPs consumed
+    goal_blocked: jax.Array   # () bool — current WP sits in lethal cost
+    #   (stock mode: the Nav2 BT masks an unreachable goal with trivial
+    #   plans and wait-loops forever instead of aborting — the reference
+    #   baseline's stall; see dispatch_move)
 
 
 def subsample_waypoints(dense_xy: np.ndarray, n_dense: int, cfg: PlannerConfig):
@@ -147,6 +151,7 @@ def init_dispatch(wps, n_wps, cfg: PlannerConfig) -> DispatchState:
         reached_count=jnp.int32(0),
         skipped_count=jnp.int32(0),
         done=jnp.array(False),
+        goal_blocked=jnp.array(False),
     )
 
 
@@ -289,6 +294,13 @@ def dispatch_plan(state: DispatchState, robot_xy, cost_win, win_r0, win_c0,
     plan = plan_world(cost_win, win_r0, win_c0, robot_xy, target, map_cfg, cfg)
     plan_good = plan.ok & (plan.n_path > 1)
 
+    # current goal inside (inscribed-)lethal cost — feeds the stock-mode
+    # BT wait-loop stall (see dispatch_move); evaluated at plan cadence
+    # like Nav2's planner_server peeking the global costmap
+    goal_cost = _cost_peak_3x3(cost_win, win_r0, win_c0, target, map_cfg,
+                               cfg.window)
+    goal_blocked = goal_cost >= 99.0
+
     # path-commitment acceptance gate
     target_changed = jnp.linalg.norm(target - state.planned_target) > 0.5
     stale = (tick - state.plan_tick) >= cfg.replan_period
@@ -304,6 +316,7 @@ def dispatch_plan(state: DispatchState, robot_xy, cost_win, win_r0, win_c0,
         plan_tick=jnp.where(accept, tick, state.plan_tick),
         planned_target=jnp.where(accept, target, state.planned_target),
         plan_fails=jnp.where(plan_good, 0, state.plan_fails + 1),
+        goal_blocked=goal_blocked,
     )
 
 
@@ -327,11 +340,19 @@ def dispatch_move(state: DispatchState, robot_xy, known_xy, known_r,
     if cfg.stock_follow:
         # stock Nav2 WaypointFollower: no per-WP timeout exists — a goal the
         # goal_checker never declares reached blocks forever (the reference
-        # baseline's stall mode); NavigateToPose only aborts on repeated
-        # planner failure, after which stop_on_failure=false moves on.  The
-        # final WPs get no special policy.
+        # baseline's stall mode).  NavigateToPose aborts on repeated HARD
+        # planner failure (stop_on_failure=false then moves on), but a goal
+        # sitting in lethal-inflated cost never aborts: NavFn's tolerance
+        # yields trivial near-goal plans the BT treats as progress, so the
+        # behavior tree wait-loops forever (nav2_stock_params.yaml:18-22
+        # 'BT then got stuck in wait recovery loop';
+        # routes/README.md:179-185 'recovery behaviors loop endlessly...
+        # robot barely moves').  With localization drift painting the live
+        # obstacle layer off-register, lethal goals are exactly what long
+        # routes produce — the reference's 2/15 reach, 17 % coverage stall.
         skip_now = state.skip[idx]
-        fail_skip = state.plan_fails >= cfg.max_plan_fails
+        fail_skip = (~state.goal_blocked) & \
+            (state.plan_fails >= cfg.max_plan_fails)
     else:
         skip_now = (state.skip[idx] | late_detect) & ~is_final
         max_fails = jnp.where(is_final, 10 ** 6, cfg.max_plan_fails)
