@@ -102,9 +102,9 @@ class CameraConfig:
     # smooth sine fields of camera position: locally constant (the VIO
     # believes them), varying over tens of meters (error accumulates as a
     # random walk over distance instead of cancelling).
-    depth_bias_amp: float = 0.008       # depth scale bias amplitude
+    depth_bias_amp: float = 0.005       # depth scale bias amplitude
     depth_bias_scale_m: float = 30.0   # spatial correlation length
-    px_bias_amp: float = 0.7           # pixel offset bias amplitude [px]
+    px_bias_amp: float = 0.4           # pixel offset bias amplitude [px]
     px_bias_scale_m: float = 40.0
     # rotational motion blur: a 30 ms exposure at |ω| = 0.8 rad/s smears
     # ~1.4° ≈ 8 px across the image — ORB detection collapses and surviving
@@ -114,14 +114,14 @@ class CameraConfig:
     # VIO than the smooth teach chase — the reference's repeat-vs-teach
     # drift asymmetry (README.md:24-40 vs :132-151) without touching the
     # teach-phase model.
-    blur_drop_per_radps: float = 0.6   # extra dropout fraction per rad/s
+    blur_drop_per_radps: float = 0.35  # extra dropout fraction per rad/s
     blur_pkeep_floor: float = 0.30     # dropout floor under heavy blur
-    px_blur_per_radps: float = 1.5     # pixel-noise multiplier per rad/s
+    px_blur_per_radps: float = 1.0     # pixel-noise multiplier per rad/s
     # repeat-session systematic pointing bias [px] (sensors/features.py):
     # cross-session lighting moves apparent corner positions; applied by
     # the repeat rollout only (teach recorded the reference session), so
     # it raises repeat VIO drift without touching the teach drift band.
-    px_bias_session_amp: float = 0.35
+    px_bias_session_amp: float = 0.8
 
 
 @_frozen
@@ -284,6 +284,7 @@ class LandmarkConfig:
     # (10-12 bits everywhere) cannot reproduce the CSV's bimodal outcomes:
     # it pinned inliers at ~14-20 with either 23 % or 80 % published.
     session_shift_bits: float = 4.0
+    session_pkeep_scale: float = 0.85  # repeat-session detector response
     session_dead_frac: float = 0.65    # fraction of appearance cells dead
     session_dead_cell_m: float = 24.0  # appearance death cell size [m]
     session_dead_bits: float = 128.0   # flip bits for dead cells: 48 left
@@ -308,9 +309,9 @@ class LandmarkConfig:
     # where the reference's ORB starves — deep forest and long diagonals.
     feat_dropout: float = 0.06         # base per-tick dropout probability
     clutter_radius_m: float = 9.0      # neighborhood for the clutter count
-    clutter_drop_per_tree: float = 0.002  # extra dropout per nearby collider
+    clutter_drop_per_tree: float = 0.001  # extra dropout per nearby collider
     clutter_free_trees: int = 3        # clutter count where penalty starts
-    feat_pkeep_min: float = 0.60       # dropout floor (never fully blind)
+    feat_pkeep_min: float = 0.66       # dropout floor (never fully blind)
 
 
 @_frozen

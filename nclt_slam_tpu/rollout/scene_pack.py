@@ -76,6 +76,15 @@ def pack_scene(scene: SceneColliders, drops: RouteDrops | None = None,
         # in the repeat session (replaced by different corners)
         feats = resample_session(feats, cfg.landmarks,
                                  seed=feat_seed * 131 + session)
+        # repeat-session detector response is weaker wholesale (changed
+        # lighting: dappled shadows, different exposure) — scales the
+        # per-tick keep probability without touching the teach session,
+        # so the repeat VIO/matcher run feature-poorer than the teach
+        # recording at identical poses (the reference's repeat-vs-teach
+        # drift asymmetry needs a repeat-only starvation term; global
+        # dropout knobs moved the teach drift out of its band)
+        feats = feats._replace(
+            pkeep=feats.pkeep * cfg.landmarks.session_pkeep_scale)
         desc = feats.desc
         if cfg.landmarks.session_shift_bits > 0:
             # appearance shift on the surviving (shared) keypoints, with
