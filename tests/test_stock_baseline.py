@@ -193,3 +193,33 @@ def test_stock_config_shape():
     assert not cfg.planner.enable_detour
     assert not cfg.mode.use_anchors
     assert cfg.mode.use_slam and cfg.mode.use_imu
+
+
+def test_stock_goal_blocked_waitloop_never_advances():
+    """A goal in lethal-inflated cost wait-loops forever in stock mode
+    (Nav2 BT masks the unreachable goal with trivial plans instead of
+    aborting — routes/README.md:179-185); hard planner failures still
+    advance via stop_on_failure=false."""
+    cfg = stock_nav2().planner
+    wps = np.zeros((cfg.max_waypoints, 2), np.float32)
+    wps[:4] = [[0, 0], [10, 0], [20, 0], [30, 0]]
+    st = init_dispatch(jnp.asarray(wps), 4, cfg)
+    st = st._replace(idx=jnp.int32(1), target=jnp.array([10.0, 0.0]),
+                     goal_blocked=jnp.array(True),
+                     plan_fails=jnp.int32(10 ** 4))
+    robot = jnp.array([0.0, 0.0])
+    zero = jnp.zeros(1)
+    for _ in range(3):
+        st = dispatch_move(st, robot, zero[:, None].repeat(2, 1), zero,
+                           jnp.zeros(1, bool), cfg)
+        st = st._replace(plan_fails=jnp.int32(10 ** 4))
+    assert int(st.idx) == 1          # blocked goal: BT wait-loop
+
+    # same accumulated failures with a plannable goal -> moves on
+    st2 = init_dispatch(jnp.asarray(wps), 4, cfg)
+    st2 = st2._replace(idx=jnp.int32(1), target=jnp.array([10.0, 0.0]),
+                       goal_blocked=jnp.array(False),
+                       plan_fails=jnp.int32(10 ** 4))
+    st2 = dispatch_move(st2, robot, zero[:, None].repeat(2, 1), zero,
+                        jnp.zeros(1, bool), cfg)
+    assert int(st2.idx) == 2
