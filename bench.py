@@ -136,16 +136,17 @@ def _roofline():
     out = {"ba_sweep": [], "peak_bf16_tflops": 197.0}
     for K, P, batch in [(10, 48, 64), (10, 128, 64), (16, 256, 32),
                         (24, 512, 8)]:
-        rate = _bench_ba(batch=batch, iters=8, K=K, P=P)
-        fl = _ba_flops_per_iter(K, P) * 8
-        achieved = rate * fl
-        out["ba_sweep"].append({
-            "K": K, "P": P, "batch": batch,
-            "solves_per_sec": round(rate, 1),
-            "gflops_per_solve": round(fl / 1e9, 3),
-            "achieved_tflops": round(achieved / 1e12, 3),
-            "mfu_bf16_pct": round(100.0 * achieved / PEAK_BF16, 2),
-        })
+        for impl in ("xla", "pallas"):
+            rate = _bench_ba(batch=batch, iters=8, K=K, P=P, impl=impl)
+            fl = _ba_flops_per_iter(K, P) * 8
+            achieved = rate * fl
+            out["ba_sweep"].append({
+                "K": K, "P": P, "batch": batch, "impl": impl,
+                "solves_per_sec": round(rate, 1),
+                "gflops_per_solve": round(fl / 1e9, 3),
+                "achieved_tflops": round(achieved / 1e12, 3),
+                "mfu_bf16_pct": round(100.0 * achieved / PEAK_BF16, 2),
+            })
     out["raycast"] = _bench_raycast()
     return out
 
@@ -194,11 +195,15 @@ def _bench_raycast(batch: int = 15, reps: int = 50):
 
 
 def _bench_ba(batch: int = 64, iters: int = 8, K: int | None = None,
-              P: int | None = None):
-    """Batched sliding-window BA throughput (default 10 KF x 128 pts)."""
+              P: int | None = None, impl: str = "pallas"):
+    """Batched sliding-window BA throughput (default 10 KF x 128 pts).
+
+    impl='pallas' runs the fused single-launch kernel (ops/ba_pallas.py,
+    the flagship); impl='xla' the reference einsum path (vio/ba.py)."""
     import numpy as np
 
     from nclt_slam_tpu import config as cfg_mod
+    from nclt_slam_tpu.ops.ba_pallas import solve_ba_pallas
     from nclt_slam_tpu.vio.ba import BAProblem, solve_ba
 
     cfg = cfg_mod.DEFAULT
@@ -226,8 +231,12 @@ def _bench_ba(batch: int = 64, iters: int = 8, K: int | None = None,
 
     probs = jax.tree_util.tree_map(
         lambda *xs: jnp.stack(xs), *[mk(s) for s in range(batch)])
-    f = jax.jit(jax.vmap(lambda p: solve_ba(
-        p, cfg.camera, cfg.vio, iters=iters)))
+    if impl == "pallas":
+        f = jax.jit(lambda p: solve_ba_pallas(p, cfg.camera, cfg.vio,
+                                              iters=iters))
+    else:
+        f = jax.jit(jax.vmap(lambda p: solve_ba(
+            p, cfg.camera, cfg.vio, iters=iters)))
     out = f(probs)
     jax.block_until_ready(out.kf_pos)
     t0 = time.perf_counter()

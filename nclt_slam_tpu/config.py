@@ -285,7 +285,13 @@ class LandmarkConfig:
     # it pinned inliers at ~14-20 with either 23 % or 80 % published.
     session_shift_bits: float = 4.0
     session_pkeep_scale: float = 0.85  # repeat-session detector response
-    session_dead_frac: float = 0.65    # fraction of appearance cells dead
+    # 0.65 tuned on 3 routes gave 54 % published over the full 15-route
+    # campaign (easy routes skew high).  The response is cliff-like (cells
+    # flip wholesale as the hash threshold moves): full-campaign published
+    # 0.70 -> 52.3 %, 0.73 -> 29.7 % (no_pnp 63 %), 0.74 -> 30.7 %.  0.72
+    # lands closest to the CSV's 38.1 % published / 45.0 % no_pnp_accept
+    # aggregate (artifacts/calibration/ours.json).
+    session_dead_frac: float = 0.72    # fraction of appearance cells dead
     session_dead_cell_m: float = 24.0  # appearance death cell size [m]
     session_dead_bits: float = 128.0   # flip bits for dead cells: 48 left
     # true pairs at Hamming ~64-76 — still the mutual-NN winner against
