@@ -29,7 +29,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 def build_world(rng, n_trees=900, extent=260.0):
     """Forest world: point clusters on vertical trunks (structure the ICP
     and ScanContext can latch onto)."""
-    pts = []
+    pts, ids = [], []
     xy = rng.uniform(-extent, extent, (n_trees, 2))
     for i in range(n_trees):
         m = 14
@@ -38,7 +38,8 @@ def build_world(rng, n_trees=900, extent=260.0):
         z = rng.uniform(0.2, 6.0, m)
         pts.append(np.column_stack([xy[i, 0] + r * np.cos(ang),
                                     xy[i, 1] + r * np.sin(ang), z]))
-    return np.concatenate(pts).astype(np.float32)
+        ids.append(np.full(m, i, np.int32))
+    return np.concatenate(pts).astype(np.float32), np.concatenate(ids)
 
 
 def loop_trajectory(n_scans, radius=180.0, laps=2.0):
@@ -50,13 +51,26 @@ def loop_trajectory(n_scans, radius=180.0, laps=2.0):
     return np.column_stack([x, y]).astype(np.float32), yaw.astype(np.float32)
 
 
-def make_scans(world, traj_xy, traj_yaw, rng, n_pts=1024, max_range=45.0,
-               jitter=0.02, dropout=0.0):
-    """Range-limited scans in the sensor frame + validity masks."""
+def make_scans(world, tree_id, traj_xy, traj_yaw, rng, n_pts=1024,
+               max_range=45.0, jitter=0.02, dropout=0.0, sway_m=0.0,
+               sway_rho=0.98):
+    """Range-limited scans in the sensor frame + validity masks.
+
+    ``sway_m`` models wind-blown canopy: every tree carries an AR(1)
+    horizontal displacement (time constant ~1/(1-rho) scans) applied to all
+    of its points.  Unlike white per-point jitter — which a 1024-point ICP
+    averages to sub-mm — this error is coherent within a scan and across
+    neighbouring scans, so it biases correspondences the way real foliage
+    motion and seasonal appearance change bias NCLT scan matching."""
     T = len(traj_xy)
+    n_trees = int(tree_id.max()) + 1
     scans = np.zeros((T, n_pts, 3), np.float32)
     valid = np.zeros((T, n_pts), bool)
+    sway = np.zeros((n_trees, 2), np.float32)
+    drive = sway_m * np.sqrt(max(1.0 - sway_rho ** 2, 1e-6))
     for t in range(T):
+        if sway_m > 0:
+            sway = sway_rho * sway + rng.normal(0, drive, (n_trees, 2))
         d = np.linalg.norm(world[:, :2] - traj_xy[t], axis=1)
         near = np.flatnonzero(d < max_range)
         if dropout > 0:
@@ -64,6 +78,9 @@ def make_scans(world, traj_xy, traj_yaw, rng, n_pts=1024, max_range=45.0,
         take = near[np.argsort(d[near])[:n_pts]]
         k = len(take)
         rel = world[take] - np.array([*traj_xy[t], 0.0], np.float32)
+        if sway_m > 0 and k:
+            rel = rel + np.concatenate(
+                [sway[tree_id[take]], np.zeros((k, 1), np.float32)], axis=1)
         c, s = np.cos(-traj_yaw[t]), np.sin(-traj_yaw[t])
         R = np.array([[c, -s, 0], [s, c, 0], [0, 0, 1]], np.float32)
         scans[t, :k] = rel @ R.T + rng.normal(0, jitter, (k, 3))
@@ -71,15 +88,24 @@ def make_scans(world, traj_xy, traj_yaw, rng, n_pts=1024, max_range=45.0,
     return scans, valid
 
 
-def noisy_odom(traj_xy, traj_yaw, rng, t_std=0.03, yaw_std=0.004):
-    """Relative wheel-odometry predictions with drifty noise."""
+def noisy_odom(traj_xy, traj_yaw, rng, t_std=0.03, yaw_std=0.004,
+               scale_bias=0.99, yaw_rate_bias=2.5e-4):
+    """Relative wheel-odometry predictions with realistic error structure:
+    white noise PLUS the systematic terms that dominate real wheel odometry
+    (tire-radius scale error, yaw-rate bias from track-width miscalibration
+    + IMU gyro bias).  Zero-mean white noise alone random-walks as sqrt(T)
+    and is trivially absorbed by scan matching; the biases integrate
+    linearly/quadratically and are what LiDAR odometry must actually
+    observe away (NCLT's odometry-aided ICP exists for this reason)."""
     T = len(traj_xy)
     rel = np.tile(np.eye(4, dtype=np.float32), (T, 1, 1))
     for t in range(1, T):
-        dyaw = traj_yaw[t] - traj_yaw[t - 1] + rng.normal(0, yaw_std)
+        dyaw = (traj_yaw[t] - traj_yaw[t - 1] + yaw_rate_bias
+                + rng.normal(0, yaw_std))
         c, s = np.cos(traj_yaw[t - 1]), np.sin(traj_yaw[t - 1])
         d_world = traj_xy[t] - traj_xy[t - 1]
-        dx = c * d_world[0] + s * d_world[1] + rng.normal(0, t_std)
+        dx = scale_bias * (c * d_world[0] + s * d_world[1]) \
+            + rng.normal(0, t_std)
         dy = -s * d_world[0] + c * d_world[1] + rng.normal(0, t_std)
         cr, sr = np.cos(dyaw), np.sin(dyaw)
         rel[t, :3, :3] = np.array([[cr, -sr, 0], [sr, cr, 0], [0, 0, 1]])
@@ -95,10 +121,20 @@ def ate(poses2d, gt_xy):
     return float(ate_rmse(np.asarray(poses2d)[:, :2], np.asarray(gt_xy)))
 
 
+# Degradation levels mirror the mechanism behind the reference's NCLT ladder
+# (datasets/nclt/CHANGELOG.md:172-175 — winter crisp scans optimize to 30 m
+# over 7.3 km; summer/seasonal sessions land at 151-188 m because scan
+# matching degrades under canopy and loop registrations get rejected):
+# bare winter trunks are rigid and dense in range; summer canopy sways and
+# occludes; a storm thins returns to a handful of swaying trees so the
+# systematically-biased wheel odometry dominates.
 SEASONS = [
-    ("winter (crisp)", dict(jitter=0.02, dropout=0.0)),
-    ("summer (canopy)", dict(jitter=0.05, dropout=0.2)),
-    ("storm (degraded)", dict(jitter=0.10, dropout=0.4)),
+    ("winter (crisp)", dict(jitter=0.02, dropout=0.0, sway_m=0.0,
+                            max_range=45.0)),
+    ("summer (canopy)", dict(jitter=0.05, dropout=0.3, sway_m=0.25,
+                             max_range=35.0)),
+    ("storm (degraded)", dict(jitter=0.10, dropout=0.6, sway_m=0.5,
+                              max_range=25.0)),
 ]
 
 
@@ -118,7 +154,7 @@ def main():
     from nclt_slam_tpu.datasets.slam.pipeline import run_slam
 
     rng = np.random.RandomState(11)
-    world = build_world(rng)
+    world, tree_id = build_world(rng)
     traj_xy, traj_yaw = loop_trajectory(args.scans)
     path_km = np.hypot(*np.diff(traj_xy, axis=0).T).sum() / 1000.0
     print(f"[scale] {args.scans} scans, {path_km:.2f} km path, "
@@ -127,7 +163,7 @@ def main():
     rows = []
     for name, noise in SEASONS:
         srng = np.random.RandomState(17)
-        scans, valid = make_scans(world, traj_xy, traj_yaw, srng,
+        scans, valid = make_scans(world, tree_id, traj_xy, traj_yaw, srng,
                                   n_pts=args.pts, **noise)
         odom = noisy_odom(traj_xy, traj_yaw, srng)
         t0 = time.perf_counter()
@@ -136,10 +172,13 @@ def main():
                        max_loops=64, sc_max_range=50.0)
         wall = time.perf_counter() - t0
         li, lj, found = out["loops"]
+        ate_open = ate(out["poses_open"], traj_xy)
+        ate_opt = ate(out["poses_optimized"], traj_xy)
         row = {
             "season": name, **noise,
-            "ate_open_m": round(ate(out["poses_open"], traj_xy), 2),
-            "ate_optimized_m": round(ate(out["poses_optimized"], traj_xy), 2),
+            "ate_open_m": round(ate_open, 2),
+            "ate_optimized_m": round(ate_opt, 2),
+            "ate_opt_m_per_km": round(ate_opt / path_km, 2),
             "loops_accepted": int(np.asarray(found).sum()),
             "icp_rmse_mean": round(float(np.mean(out["rmses"][1:])), 3),
             "wall_s": round(wall, 1),
@@ -162,7 +201,7 @@ def main():
         p.parent.mkdir(parents=True, exist_ok=True)
         p.write_text(json.dumps(
             {"scans": args.scans, "path_km": round(path_km, 2),
-             "ladder": rows}, indent=2))
+             "ladder": rows}, indent=2, default=float))
         print(f"\n[scale] -> {p}")
     return 0
 
