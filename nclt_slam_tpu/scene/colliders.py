@@ -19,7 +19,7 @@ import numpy as np
 
 from nclt_slam_tpu.scene.terrain import ROAD_WPS
 
-CAPACITY = 640
+CAPACITY = 1536
 
 # kind ids
 KIND_TREE = 0
@@ -146,6 +146,9 @@ def build_scene(seed: int = 7) -> SceneColliders:
         entries.append((hx, hy, r, h, KIND_HOUSE))
 
     # vegetation must leave (2.4 m inflation + slack) around every corridor
+    # so the A* generator finds the same channels as the calibrated routes;
+    # the tree-dense edges the reference has along its REAL paths are added
+    # afterwards by add_route_walls (see default_scene)
     CORRIDOR_CLEAR = 3.2
 
     def placeable(x, y, r, road_min, margin):
@@ -243,11 +246,99 @@ def build_scene(seed: int = 7) -> SceneColliders:
     return SceneColliders(xy, radius, height, kind, valid)
 
 
+def add_route_walls(base: SceneColliders, paths, seed: int = 7,
+                    spacing: float = 4.0, clear: float = 2.8) -> SceneColliders:
+    """Line the GENERATED route paths with trees at the plannability limit.
+
+    The reference forest (~1500 assets over 240x160 m) is dense right up to
+    the 2.4 m inflation its route generator plans at — which is why 2-6 m of
+    lateral localization error physically puts the robot among trees and
+    "recovery behaviors (spin/backup/drive_on_heading) loop endlessly in
+    tree-dense costmap inflation" (routes/README.md:179-185).  Our scatter
+    density leaves ~8 m gaps a drifting robot slaloms through, so plant an
+    explicit ragged tree line ~``clear`` m off each side of every route's
+    driven polyline.  Walls are placed AFTER route generation (against the
+    base scene) so the calibrated route geometry is unchanged; every wall
+    tree keeps ``clear`` m of edge distance from ALL route paths, the road,
+    and the corner anchors, so teach drives (GT localization) stay
+    collision-free and every route remains exactly as plannable as before.
+
+    ``paths``: list of (N, 2) dense route polylines (outbound + return).
+    """
+    rng = np.random.RandomState(seed * 7919 + 13)
+    r_t, h_t = KIND_GEOM[KIND_TREE]
+
+    # all path segments, concatenated, for vectorized min-distance checks
+    segs_a = np.concatenate([p[:-1] for p in paths], 0).astype(np.float64)
+    segs_b = np.concatenate([p[1:] for p in paths], 0).astype(np.float64)
+    ab = segs_b - segs_a
+    denom = (ab * ab).sum(-1) + 1e-12
+
+    def path_dist(q):
+        t = np.clip(((q[None] - segs_a) * ab).sum(-1) / denom, 0.0, 1.0)
+        proj = segs_a + t[:, None] * ab
+        return float(np.sqrt(((q[None] - proj) ** 2).sum(-1)).min())
+
+    n0 = int(base.valid.sum())
+    xy = base.xy.copy(); radius = base.radius.copy()
+    height = base.height.copy(); kind = base.kind.copy()
+    valid = base.valid.copy()
+    occ_xy = [tuple(p) for p in xy[:n0]]
+    occ_r = list(radius[:n0])
+    n = n0
+
+    for path in paths:
+        seg_len = np.linalg.norm(np.diff(path, axis=0), axis=1)
+        cum = np.concatenate([[0.0], np.cumsum(seg_len)])
+        for s in np.arange(2.0, float(cum[-1]), spacing):
+            seg = min(int(np.searchsorted(cum, s, side="right") - 1),
+                      len(path) - 2)
+            t = (s - cum[seg]) / max(seg_len[seg], 1e-9)
+            p = path[seg] * (1 - t) + path[seg + 1] * t
+            tang = path[seg + 1] - path[seg]
+            nrm = np.array([-tang[1], tang[0]])
+            nrm = nrm / (np.linalg.norm(nrm) + 1e-9)
+            for side in (1.0, -1.0):
+                if rng.rand() > 0.85:        # ragged line, not a fence
+                    continue
+                for _ in range(3):
+                    off = clear + r_t + rng.uniform(0.05, 1.4)
+                    q = p + nrm * side * off + rng.normal(0, 0.3, 2)
+                    x, y = float(q[0]), float(q[1])
+                    if not (X_MIN + 3 < x < X_MAX - 3
+                            and Y_MIN + 3 < y < Y_MAX - 3):
+                        continue
+                    if path_dist(q) < clear + r_t:   # another route's path
+                        continue
+                    if _road_dist(x, y) < 4.0 + r_t:
+                        continue
+                    if any((x - cx) ** 2 + (y - cy) ** 2 < (r_t + 4.0) ** 2
+                           for cx, cy in CORNERS):
+                        continue
+                    d2 = [(x - ex) ** 2 + (y - ey) ** 2 <
+                          (r_t + er + 0.2) ** 2
+                          for (ex, ey), er in zip(occ_xy, occ_r)]
+                    if any(d2):
+                        continue
+                    if n >= CAPACITY:
+                        break
+                    xy[n] = (x, y); radius[n] = r_t; height[n] = h_t
+                    kind[n] = KIND_TREE; valid[n] = True
+                    occ_xy.append((x, y)); occ_r.append(r_t)
+                    n += 1
+                    break
+    return SceneColliders(xy, radius, height, kind, valid)
+
+
 _scene_cache: dict[int, SceneColliders] = {}
 _DATA_DIR = __import__("pathlib").Path(__file__).parent / "data"
 
 
 def default_scene(seed: int = 7) -> SceneColliders:
+    """The walled scene every rollout consumer uses: base scatter + the
+    route-edge tree lines of add_route_walls.  Built lazily: generate the
+    base, derive all 15 routes against it (cached as package data), wall
+    the paths, cache the result."""
     if seed not in _scene_cache:
         p = _DATA_DIR / f"scene_seed{seed}.npz"
         if p.is_file():
@@ -256,9 +347,12 @@ def default_scene(seed: int = 7) -> SceneColliders:
                 xy=z["xy"], radius=z["radius"], height=z["height"],
                 kind=z["kind"], valid=z["valid"])
         else:
-            _scene_cache[seed] = build_scene(seed)
+            from nclt_slam_tpu.scene.routes import base_route_paths
+            base = build_scene(seed)
+            walled = add_route_walls(base, base_route_paths(base, seed), seed)
+            _scene_cache[seed] = walled
             p.parent.mkdir(parents=True, exist_ok=True)
-            sc = _scene_cache[seed]
-            np.savez_compressed(p, xy=sc.xy, radius=sc.radius,
-                                height=sc.height, kind=sc.kind, valid=sc.valid)
+            np.savez_compressed(p, xy=walled.xy, radius=walled.radius,
+                                height=walled.height, kind=walled.kind,
+                                valid=walled.valid)
     return _scene_cache[seed]

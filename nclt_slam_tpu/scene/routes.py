@@ -23,7 +23,8 @@ from typing import NamedTuple
 
 import numpy as np
 
-from nclt_slam_tpu.scene.colliders import SceneColliders, default_scene
+from nclt_slam_tpu.scene.colliders import (SceneColliders, build_scene,
+                                           default_scene)
 from nclt_slam_tpu.scene.terrain import ROAD_WPS
 
 # Fixed capacity of a dense (0.8 m) route polyline incl. turnaround + return.
@@ -375,12 +376,38 @@ def get_route(name: str, seed: int = 7) -> Route:
         if cached is not None:
             _route_cache[key] = cached
         else:
-            scene = default_scene(seed)
+            # Routes are ALWAYS generated against the base (wall-free) scene:
+            # default_scene adds route-edge tree walls derived from these very
+            # paths (colliders.add_route_walls), so planning against it would
+            # be circular — and the walls are built to keep the base-planned
+            # paths exactly as clear as the generator required.
+            scene = build_scene(seed)
             if seed not in _grid_cache:
                 _grid_cache[seed] = build_grid(scene)
             _route_cache[key] = generate_route(name, scene, _grid_cache[seed])
             _save_cached_route(_route_cache[key], seed)
     return _route_cache[key]
+
+
+def base_route_paths(base: SceneColliders, seed: int = 7):
+    """Dense polylines of all 15 routes generated against the BASE scene
+    (cache-backed) — the input colliders.add_route_walls lines with trees."""
+    grid = None
+    paths = []
+    for name in ALL_ROUTES:
+        key = (name, seed)
+        if key not in _route_cache:
+            cached = _load_cached_route(name, seed)
+            if cached is not None:
+                _route_cache[key] = cached
+            else:
+                if grid is None:
+                    grid = _grid_cache.setdefault(seed, build_grid(base))
+                _route_cache[key] = generate_route(name, base, grid)
+                _save_cached_route(_route_cache[key], seed)
+        r = _route_cache[key]
+        paths.append(np.asarray(r.dense_xy[:r.n_dense], np.float64))
+    return paths
 
 
 def get_routes(names=None, seed: int = 7) -> list[Route]:
