@@ -94,7 +94,8 @@ def run_campaign_teach(data: CampaignData, cfg: Config, n_ticks: int,
     single executions longer than ~60 s (measured: a 15-route ours-mode
     chunk runs ~123 ms/tick, so 500-tick chunks died while <=250 is safe),
     and chunking gives free progress reporting + checkpointability."""
-    chunk = min(chunk, n_ticks)
+    n_chunks = -(-n_ticks // min(chunk, n_ticks))
+    chunk = -(-n_ticks // n_chunks)   # equal chunks, no overshoot (see repeat)
     f = _cached_jit(("teach", cfg, chunk), lambda: jax.jit(jax.vmap(
         lambda sc, rt, c, t0: run_teach(sc, rt, cfg, chunk, carry=c,
                                         tick0=t0),
@@ -176,7 +177,12 @@ def run_campaign_repeat(data: CampaignData, teach_grids, wps, n_wps,
     ``carry``/``tick0`` continue a previous run's final state — used by the
     bench's steady-state window (skip the teach-warmup transient) and by
     checkpoint resume."""
-    chunk = min(chunk, n_ticks)
+    # equal chunks that cover n_ticks with minimal overshoot: range-stepping
+    # a fixed 250 over e.g. 400 ticks would EXECUTE 500 (the last chunk
+    # always runs full length), inflating bench wall time by 25 % and
+    # advancing the returned carry past tick0+n_ticks
+    n_chunks = -(-n_ticks // min(chunk, n_ticks))
+    chunk = -(-n_ticks // n_chunks)
     # Stock baseline: the one-time client-side WP projection must run for
     # every entry point (bench, tests, CLI), not just the campaign CLI —
     # stock mode has no per-WP timeout, so a lethal-cost WP would block a

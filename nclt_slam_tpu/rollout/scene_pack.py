@@ -47,6 +47,9 @@ class PackedRoute(NamedTuple):
     n_wps: jnp.ndarray        # () int32
 
 
+_PACK_CACHE: dict = {}
+
+
 def pack_scene(scene: SceneColliders, drops: RouteDrops | None = None,
                cfg: Config | None = None, feat_seed: int = 123,
                session: int = 0) -> PackedScene:
@@ -60,6 +63,20 @@ def pack_scene(scene: SceneColliders, drops: RouteDrops | None = None,
     cfg = cfg or cfg_mod.DEFAULT
     if drops is None:
         drops = no_drops()
+    # Content-keyed memo: a campaign build calls pack_scene 30 times and
+    # the 15 teach calls (same scene, no drops) are byte-identical; repeated
+    # builds across ablation modes (calibrate, bench gt-line) hit it too.
+    # Feature construction depends only on the collider set, the landmark/
+    # camera feature knobs, seed, and session — all in the key.
+    import hashlib
+    hsh = hashlib.sha1()
+    for a in (scene.xy, scene.radius, scene.height, scene.valid,
+              drops.xy, drops.radius, drops.height, drops.valid):
+        hsh.update(np.ascontiguousarray(a).tobytes())
+    cache_key = (hsh.hexdigest(), cfg.landmarks, feat_seed, session)
+    hit = _PACK_CACHE.get(cache_key)
+    if hit is not None:
+        return hit
     xy = np.concatenate([scene.xy, drops.xy], 0)
     radius = np.concatenate([scene.radius, drops.radius], 0)
     height = np.concatenate([scene.height, drops.height], 0)
@@ -119,7 +136,7 @@ def pack_scene(scene: SceneColliders, drops: RouteDrops | None = None,
             desc = jnp.asarray(np.asarray(desc) ^ masks)
     else:
         desc = feats.desc
-    return PackedScene(
+    packed = PackedScene(
         xy=jnp.asarray(xy), radius=jnp.asarray(radius),
         base_z=jnp.asarray(base_z), height=jnp.asarray(height),
         valid=jnp.asarray(valid), drop_mask=jnp.asarray(drop_mask),
@@ -129,6 +146,8 @@ def pack_scene(scene: SceneColliders, drops: RouteDrops | None = None,
         feat_view_thr=feats.view_thr,
         feat_view_alpha=feats.view_alpha,
     )
+    _PACK_CACHE[cache_key] = packed
+    return packed
 
 
 def pack_route(route: Route, cfg: Config) -> PackedRoute:

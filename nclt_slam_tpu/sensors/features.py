@@ -63,28 +63,39 @@ def build_scene_features(obs_xy: np.ndarray, obs_r: np.ndarray,
     rng = np.random.RandomState(seed)
     N = len(obs_xy)
     S = N * FEATS_PER_OBJ
-    xyz = np.zeros((S, 3), np.float32)
     owner = np.repeat(np.arange(N, dtype=np.int32), FEATS_PER_OBJ)
     valid = np.repeat(np.asarray(obs_valid, bool), FEATS_PER_OBJ)
     half = _TRUNK_FEATS
-    for i in range(N):
-        for k in range(FEATS_PER_OBJ):
-            ang = rng.uniform(0, 2 * np.pi)
-            j = i * FEATS_PER_OBJ + k
-            if k < half:
-                # trunk/surface features on the collider wall
-                frac = rng.uniform(0.15, 0.9)
-                xyz[j, 0] = obs_xy[i, 0] + obs_r[i] * np.cos(ang)
-                xyz[j, 1] = obs_xy[i, 1] + obs_r[i] * np.sin(ang)
-                xyz[j, 2] = obs_base_z[i] + frac * max(obs_h[i], 0.3)
-            else:
-                # ground-texture features (roots, grass, debris) on the
-                # apron around the collider — these are what survives the
-                # recorder's below-horizon gate, like real forest-floor ORB
-                rad = obs_r[i] + rng.uniform(0.3, 2.0)
-                xyz[j, 0] = obs_xy[i, 0] + rad * np.cos(ang)
-                xyz[j, 1] = obs_xy[i, 1] + rad * np.sin(ang)
-                xyz[j, 2] = obs_base_z[i] + rng.uniform(0.02, 0.15)
+    # One block draw reproducing the original per-feature loop's RNG stream
+    # exactly (uniform(a,b) = a + (b-a)*random_sample in numpy): per
+    # collider the draw order is [ang, frac] x half then [ang, rad, zj] x
+    # (FEATS_PER_OBJ - half).  The scalar double-loop version of this took
+    # seconds per call x 30 pack_scene calls per campaign build.
+    n_ap = FEATS_PER_OBJ - half
+    draws = rng.random_sample((N, 2 * half + 3 * n_ap))
+    tr = draws[:, : 2 * half].reshape(N, half, 2)
+    ap = draws[:, 2 * half:].reshape(N, n_ap, 3)
+    oxy = np.asarray(obs_xy, np.float64)
+    orad = np.asarray(obs_r, np.float64)
+    # trunk/surface features on the collider wall
+    ang_t = 2.0 * np.pi * tr[:, :, 0]
+    frac = 0.15 + (0.9 - 0.15) * tr[:, :, 1]
+    t_xyz = np.stack([
+        oxy[:, None, 0] + orad[:, None] * np.cos(ang_t),
+        oxy[:, None, 1] + orad[:, None] * np.sin(ang_t),
+        obs_base_z[:, None] + frac * np.maximum(obs_h, 0.3)[:, None],
+    ], -1)
+    # ground-texture features (roots, grass, debris) on the apron around
+    # the collider — these are what survives the recorder's below-horizon
+    # gate, like real forest-floor ORB
+    ang_a = 2.0 * np.pi * ap[:, :, 0]
+    rad = orad[:, None] + (0.3 + (2.0 - 0.3) * ap[:, :, 1])
+    a_xyz = np.stack([
+        oxy[:, None, 0] + rad * np.cos(ang_a),
+        oxy[:, None, 1] + rad * np.sin(ang_a),
+        obs_base_z[:, None] + 0.02 + (0.15 - 0.02) * ap[:, :, 2],
+    ], -1)
+    xyz = np.concatenate([t_xyz, a_xyz], 1).reshape(S, 3).astype(np.float32)
     if ground_density > 0:
         act = np.asarray(obs_valid, bool)
         ref_xy = obs_xy[act] if act.any() else np.zeros((1, 2))
@@ -128,9 +139,15 @@ def build_scene_features(obs_xy: np.ndarray, obs_r: np.ndarray,
     # clusters (deep forest) occlude and shadow their features more often
     act = np.asarray(obs_valid, bool)
     if act.any():
+        # KDTree ball counts instead of the dense (S, N) distance matrix:
+        # at walled-scene scale that matrix is ~10^8 float64 (GBs of
+        # intermediates) and dominated campaign build time
+        from scipy.spatial import cKDTree
         cxy = np.asarray(obs_xy, np.float32)[act]
-        d2 = ((xyz[:, None, :2] - cxy[None, :, :]) ** 2).sum(-1)
-        clutter = (d2 < cfg.clutter_radius_m ** 2).sum(-1)
+        tree = cKDTree(np.asarray(cxy, np.float64))
+        clutter = tree.query_ball_point(
+            np.asarray(xyz[:, :2], np.float64), cfg.clutter_radius_m,
+            return_length=True)
     else:
         clutter = np.zeros(S)
     excess = np.maximum(clutter - cfg.clutter_free_trees, 0)
