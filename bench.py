@@ -53,13 +53,28 @@ def _measure_mode(mode: str, names, n_ticks: int, teach_ticks: int,
                                warm_ticks, stores=stores)
     jax.block_until_ready(warm.final.robot.xy)
 
-    # timed steady-state window, continuing from the warm carry
-    t0 = time.perf_counter()
-    out = run_campaign_repeat(data, teach.teach_grid, wps, n_wps, cfg,
-                              n_ticks, stores=stores, carry=warm.final,
-                              tick0=warm_ticks)
-    jax.block_until_ready(out.final.robot.xy)
-    dt = time.perf_counter() - t0
+    # prime the EXACT timed-window program untimed: a different window
+    # length picks a different chunk size (a fresh executable), and a
+    # scan-output carry can retrace against the init-carry trace via weak
+    # types — either way the first timed-window call used to eat a ~70 s
+    # XLA compile, which is what round 3's 1,692 steps/s "steady state"
+    # headline actually measured (the compiled program runs ~20x faster).
+    def timed_window():
+        out = run_campaign_repeat(data, teach.teach_grid, wps, n_wps, cfg,
+                                  n_ticks, stores=stores, carry=warm.final,
+                                  tick0=warm_ticks)
+        jax.block_until_ready(out.final.robot.xy)
+
+    timed_window()
+
+    # timed steady-state window: median of 3 identical re-runs from the
+    # same warm carry (sustained throughput, compile excluded)
+    dts = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        timed_window()
+        dts.append(time.perf_counter() - t0)
+    dt = sorted(dts)[1]
 
     substeps = cfg.sim.nav_decimation
     return n_ticks * substeps * len(names) / dt, dt
@@ -67,7 +82,9 @@ def _measure_mode(mode: str, names, n_ticks: int, teach_ticks: int,
 
 def main():
     n_routes = int(os.environ.get("BENCH_ROUTES", "15"))
-    n_ticks = int(os.environ.get("BENCH_TICKS", "400"))
+    # 500 = 2 x the 250-tick chunk, so the timed window reuses the warm
+    # phase's chunk executable (one compile for both)
+    n_ticks = int(os.environ.get("BENCH_TICKS", "500"))
     teach_ticks = int(os.environ.get("BENCH_TEACH_TICKS", "100"))
     warm_ticks = int(os.environ.get("BENCH_WARM_TICKS", "2000"))
     # the recorded headline measures the FULL flagship stack (VIO + anchors

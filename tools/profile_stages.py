@@ -33,6 +33,10 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--routes", type=int, default=15)
     ap.add_argument("--iters", type=int, default=50)
+    ap.add_argument("--warm", type=int, default=0,
+                    help="run the full repeat scan this many ticks first "
+                         "and profile from the warm carry (full landmark "
+                         "stores / VIO maps / live costmap)")
     ap.add_argument("--platform", default=None)
     args = ap.parse_args()
     if args.platform:
@@ -50,16 +54,36 @@ def main():
     data = build_campaign(names, cfg=cfg)
     R = len(names)
 
-    # teach artefacts (short) so store/map are realistic
-    teach = run_campaign_teach(data, cfg_mod.gt_localization(), 100)
+    # teach artefacts (short by default; --warm implies a real teach) so
+    # store/map are realistic
+    teach_ticks = 100 if args.warm == 0 else 2000
+    teach = run_campaign_teach(data, cfg_mod.gt_localization(), teach_ticks)
     wps, n_wps = teach_waypoints(data, teach, cfg)
-    stores = jax.vmap(lambda _: init_store(cfg.landmarks))(jnp.arange(R))
+    if args.warm:
+        stores = teach.store   # teach-recorded landmark stores, like bench
+    else:
+        stores = jax.vmap(lambda _: init_store(cfg.landmarks))(jnp.arange(R))
 
     carry = jax.vmap(lambda rt, wp, nw: init_repeat_carry(rt, wp, nw, cfg))(
         data.routes, wps, n_wps)
     scene = data.scenes_repeat
     route = data.routes
     teach_grid = teach.teach_grid
+
+    if args.warm:
+        # advance the full stack so stores/maps/grids are steady-state
+        # (note: a compiled program's cost is data-independent — this mode
+        # exists to measure stage costs over REPRESENTATIVE control flow,
+        # e.g. committed fusion + live costmap windows, and to cross-check
+        # bench's warm-window numbers)
+        from nclt_slam_tpu.rollout.repeat import run_repeat
+        fwarm = jax.jit(jax.vmap(
+            lambda sc, rt, tg, wp, nw, st, c: run_repeat(
+                sc, rt, tg, wp, nw, cfg, args.warm, store=st,
+                carry=c).final,
+            in_axes=(0, 0, 0, 0, 0, 0, 0)))
+        carry = fwarm(scene, route, teach_grid, wps, n_wps, stores, carry)
+        jax.block_until_ready(carry.robot.xy)
 
     N_TICKS = args.iters
     results = {}
