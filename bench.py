@@ -28,10 +28,13 @@ def _measure_mode(mode: str, names, n_ticks: int, teach_ticks: int,
     """Steady-state steps/s for one localization mode: run ``warm_ticks``
     untimed (teach-warmup + map/store fill transient — VERDICT r2 weak #5),
     then time an ``n_ticks`` window continuing from the warm carry."""
+    import numpy as np
+
     from nclt_slam_tpu import config as cfg_mod
     from nclt_slam_tpu.cli.common import MODES
     from nclt_slam_tpu.rollout.campaign import (
         build_campaign,
+        planned_chunks,
         run_campaign_repeat,
         run_campaign_teach,
         teach_waypoints,
@@ -41,16 +44,24 @@ def _measure_mode(mode: str, names, n_ticks: int, teach_ticks: int,
     cfg_teach = cfg_mod.gt_localization()
     data = build_campaign(names, cfg=cfg)
 
-    # short teach to produce maps + WPs (not timed)
+    # teach long enough that every route still has live waypoints through
+    # the warm + timed repeat window (a 100-tick teach left ~3 WPs/route:
+    # all routes finished by tick ~76, the campaign runner's done-break cut
+    # every "500-tick" window to 250 executed ticks, and the r3 headline
+    # credited the unexecuted half — ADVICE r3 #1)
     teach = run_campaign_teach(data, cfg_teach, teach_ticks)
     jax.block_until_ready(teach.teach_grid)
     wps, n_wps = teach_waypoints(data, teach, cfg)
     stores = None if mode == "gt" else teach.store
 
     # warm phase: compile + drive past the startup transient (alignment
-    # window, VIO map fill, first anchors)
+    # window, VIO map fill, first anchors).  stop_when_done=False so the
+    # final carry sits at a deterministic executed tick count.
+    n_wc, wc = planned_chunks(warm_ticks, 250)
+    warm_exec = n_wc * wc
     warm = run_campaign_repeat(data, teach.teach_grid, wps, n_wps, cfg,
-                               warm_ticks, stores=stores)
+                               warm_ticks, stores=stores,
+                               stop_when_done=False)
     jax.block_until_ready(warm.final.robot.xy)
 
     # prime the EXACT timed-window program untimed: a different window
@@ -59,13 +70,22 @@ def _measure_mode(mode: str, names, n_ticks: int, teach_ticks: int,
     # types — either way the first timed-window call used to eat a ~70 s
     # XLA compile, which is what round 3's 1,692 steps/s "steady state"
     # headline actually measured (the compiled program runs ~20x faster).
+    n_tc, tc = planned_chunks(n_ticks, 250)
+    exec_ticks = n_tc * tc   # what actually runs (done-break disabled)
+
     def timed_window():
         out = run_campaign_repeat(data, teach.teach_grid, wps, n_wps, cfg,
                                   n_ticks, stores=stores, carry=warm.final,
-                                  tick0=warm_ticks)
+                                  tick0=warm_exec, stop_when_done=False)
         jax.block_until_ready(out.final.robot.xy)
+        return out
 
-    timed_window()
+    out = timed_window()
+    # honesty guard: the timed window must measure routes doing real work,
+    # not a finished campaign idling (compiled cost is data-independent,
+    # but the recorded headline claims full-stack *navigation* throughput)
+    done_last = np.asarray(out.trace.done)[:, -1]
+    active_frac = float((~done_last).mean())
 
     # timed steady-state window: median of 3 identical re-runs from the
     # same warm carry (sustained throughput, compile excluded)
@@ -77,7 +97,7 @@ def _measure_mode(mode: str, names, n_ticks: int, teach_ticks: int,
     dt = sorted(dts)[1]
 
     substeps = cfg.sim.nav_decimation
-    return n_ticks * substeps * len(names) / dt, dt
+    return exec_ticks * substeps * len(names) / dt, dt, exec_ticks, active_frac
 
 
 def main():
@@ -85,7 +105,10 @@ def main():
     # 500 = 2 x the 250-tick chunk, so the timed window reuses the warm
     # phase's chunk executable (one compile for both)
     n_ticks = int(os.environ.get("BENCH_TICKS", "500"))
-    teach_ticks = int(os.environ.get("BENCH_TEACH_TICKS", "100"))
+    # 1500 teach ticks ≈ 120 m of recorded route — enough waypoints that
+    # every route is still actively navigating through warm+timed repeat
+    # ticks (the honesty guard below records the live fraction)
+    teach_ticks = int(os.environ.get("BENCH_TEACH_TICKS", "1500"))
     warm_ticks = int(os.environ.get("BENCH_WARM_TICKS", "2000"))
     # the recorded headline measures the FULL flagship stack (VIO + anchors
     # + v55 fusion); gt/encoder/rgbd modes remain selectable for comparison
@@ -94,21 +117,24 @@ def main():
     from nclt_slam_tpu.scene.routes import ALL_ROUTES
 
     names = ALL_ROUTES[:n_routes]
-    steps_per_sec, dt = _measure_mode(mode, names, n_ticks, teach_ticks,
-                                      warm_ticks)
+    steps_per_sec, dt, exec_ticks, active_frac = _measure_mode(
+        mode, names, n_ticks, teach_ticks, warm_ticks)
 
     # secondary metric: sliding-window BA solves/sec (batched windows)
     ba_rate = _bench_ba()
 
     extra = {"ba_solves_per_sec": round(ba_rate, 1),
-             "routes": len(names), "ticks": n_ticks,
+             "routes": len(names), "ticks": exec_ticks,
              "warm_ticks": warm_ticks, "mode": mode,
-             "wall_s": round(dt, 2)}
+             "wall_s": round(dt, 2),
+             # fraction of routes still navigating at the window's end;
+             # ~1.0 means the headline measured live full-stack work
+             "active_route_frac": round(active_frac, 3)}
     # companion speed-of-light line: same window, gt localization — makes
     # the headline self-contained (full stack vs no-perception ceiling)
     if mode != "gt" and os.environ.get("BENCH_GT_LINE", "1") != "0":
-        gt_rate, _ = _measure_mode("gt", names, n_ticks, teach_ticks,
-                                   min(warm_ticks, 500))
+        gt_rate, _, _, _ = _measure_mode("gt", names, n_ticks, teach_ticks,
+                                         min(warm_ticks, 500))
         extra["gt_steps_per_sec"] = round(gt_rate, 1)
     if os.environ.get("BENCH_ROOFLINE", "1") != "0":
         extra["roofline"] = _roofline()

@@ -37,37 +37,50 @@ def subsample_wps(pts: np.ndarray, spacing: float = 4.0) -> np.ndarray:
 
 def wp_coverage(gt_pts: np.ndarray, wps: np.ndarray, turnaround_xy,
                 r_tol: float = 3.0):
-    """Directional WP coverage for an out-and-back route."""
+    """Direction-aware waypoint coverage on an out-and-back route.
+
+    Both the driven GT trace and the teach waypoint list are cut at the
+    sample nearest the turnaround point; waypoints on the outbound half
+    only score against the outbound leg of the trace (and return waypoints
+    against the return leg), so driving one leg twice cannot double-count
+    the other leg's waypoints.  A waypoint counts as covered when its leg
+    of the trace passes within ``r_tol`` meters.  Semantics match the
+    reference oracle (compute_metrics.py:94-129).  Returns
+    (covered_count, total, per-waypoint min distances)."""
     if len(gt_pts) == 0 or len(wps) == 0:
         return 0, len(wps), []
     n = len(wps)
     tx, ty = turnaround_xy
-    t_idx = int(np.argmin(np.hypot(gt_pts[:, 0] - tx, gt_pts[:, 1] - ty)))
-    mid_wp = int(np.argmin(np.hypot(wps[:, 0] - tx, wps[:, 1] - ty)))
-    outbound_gt = gt_pts[: t_idx + 1] if t_idx >= 0 else gt_pts
-    return_gt = gt_pts[t_idx:] if t_idx < len(gt_pts) else gt_pts[-1:]
+    cut = int(np.argmin(np.hypot(gt_pts[:, 0] - tx, gt_pts[:, 1] - ty)))
+    wp_cut = int(np.argmin(np.hypot(wps[:, 0] - tx, wps[:, 1] - ty)))
+    leg_out = gt_pts[: cut + 1]
+    leg_back = gt_pts[cut:] if cut < len(gt_pts) else gt_pts[-1:]
 
-    visited = 0
-    per_wp = []
+    covered = 0
+    dists = []
     for i, (wx, wy) in enumerate(wps):
-        src = outbound_gt if i <= mid_wp else return_gt
-        d = float(np.hypot(src[:, 0] - wx, src[:, 1] - wy).min())
-        per_wp.append(d)
+        leg = leg_out if i <= wp_cut else leg_back
+        d = float(np.hypot(leg[:, 0] - wx, leg[:, 1] - wy).min())
+        dists.append(d)
         if d < r_tol:
-            visited += 1
-    return visited, n, per_wp
+            covered += 1
+    return covered, n, dists
 
 
 def endpoint_metrics(gt_pts: np.ndarray, spawn_xy, turnaround_xy,
                      tol: float = 10.0):
-    """(final_min_dist, return_dist, reached_final, returned_spawn)."""
+    """Route-endpoint success pair: closest approach to the turnaround over
+    the whole run (did the robot ever reach the far end?) and the distance
+    from the run's last sample back to the spawn (did it make it home?),
+    each thresholded at ``tol`` meters (compute_metrics.py:132-149
+    semantics).  Returns (reach_dist, home_dist, reached, returned)."""
     if len(gt_pts) == 0:
         return None, None, False, False
     tx, ty = turnaround_xy
-    final_d = float(np.hypot(gt_pts[:, 0] - tx, gt_pts[:, 1] - ty).min())
+    reach_d = float(np.hypot(gt_pts[:, 0] - tx, gt_pts[:, 1] - ty).min())
     sx, sy = spawn_xy
-    return_d = float(np.hypot(gt_pts[-1, 0] - sx, gt_pts[-1, 1] - sy))
-    return final_d, return_d, final_d < tol, return_d < tol
+    home_d = float(np.hypot(gt_pts[-1, 0] - sx, gt_pts[-1, 1] - sy))
+    return reach_d, home_d, reach_d < tol, home_d < tol
 
 
 def drift_metrics(nav_xy: np.ndarray, gt_xy: np.ndarray, period: int = 100):

@@ -88,14 +88,23 @@ def _concat_traces(chunks, n_ticks):
         *chunks)
 
 
+def planned_chunks(n_ticks: int, chunk: int) -> tuple[int, int]:
+    """(n_chunks, chunk) the campaign runners will execute for ``n_ticks``.
+    Equal chunks with *minimal* overshoot: the executed tick count is
+    ``n_chunks * chunk >= n_ticks`` (e.g. n_ticks=7, chunk=3 executes 9) —
+    benchmarks must divide wall time by the executed count, not n_ticks."""
+    n_chunks = -(-n_ticks // min(chunk, n_ticks))
+    return n_chunks, -(-n_ticks // n_chunks)
+
+
 def run_campaign_teach(data: CampaignData, cfg: Config, n_ticks: int,
-                       chunk: int = 250, progress=None) -> TeachResult:
+                       chunk: int = 250, progress=None,
+                       stop_when_done: bool = True) -> TeachResult:
     """Batched teach, chunked at the host level: the TPU worker kills
     single executions longer than ~60 s (measured: a 15-route ours-mode
     chunk runs ~123 ms/tick, so 500-tick chunks died while <=250 is safe),
     and chunking gives free progress reporting + checkpointability."""
-    n_chunks = -(-n_ticks // min(chunk, n_ticks))
-    chunk = -(-n_ticks // n_chunks)   # equal chunks, no overshoot (see repeat)
+    n_chunks, chunk = planned_chunks(n_ticks, chunk)
     f = _cached_jit(("teach", cfg, chunk), lambda: jax.jit(jax.vmap(
         lambda sc, rt, c, t0: run_teach(sc, rt, cfg, chunk, carry=c,
                                         tick0=t0),
@@ -110,7 +119,7 @@ def run_campaign_teach(data: CampaignData, cfg: Config, n_ticks: int,
         if progress:
             progress(t0 + chunk, n_ticks,
                      int(np.asarray(res.trace.done)[:, -1].sum()))
-        if np.asarray(res.trace.done)[:, -1].all():
+        if stop_when_done and np.asarray(res.trace.done)[:, -1].all():
             break
     trace = _concat_traces(traces, n_ticks)
     n_valid = jnp.asarray((~trace.done).sum(axis=1).astype(np.int32))
@@ -171,18 +180,24 @@ def apply_stock_projection(teach_grids, wps, n_wps, cfg: Config):
 def run_campaign_repeat(data: CampaignData, teach_grids, wps, n_wps,
                         cfg: Config, n_ticks: int, stores=None,
                         chunk: int = 250, progress=None, carry=None,
-                        tick0: int = 0) -> RepeatResult:
+                        tick0: int = 0,
+                        stop_when_done: bool = True) -> RepeatResult:
     """Batched repeat, chunked like run_campaign_teach.
 
     ``carry``/``tick0`` continue a previous run's final state — used by the
     bench's steady-state window (skip the teach-warmup transient) and by
-    checkpoint resume."""
+    checkpoint resume.  ``stop_when_done=False`` disables the all-routes-done
+    early break so exactly ``planned_chunks`` worth of ticks execute
+    (benchmarking: the break made a "500-tick" window run 250 when all
+    routes finished early, inflating the r3 headline ~2x)."""
     # equal chunks that cover n_ticks with minimal overshoot: range-stepping
     # a fixed 250 over e.g. 400 ticks would EXECUTE 500 (the last chunk
     # always runs full length), inflating bench wall time by 25 % and
-    # advancing the returned carry past tick0+n_ticks
-    n_chunks = -(-n_ticks // min(chunk, n_ticks))
-    chunk = -(-n_ticks // n_chunks)
+    # advancing the returned carry past tick0+n_ticks.  The final chunk can
+    # still overshoot when n_chunks*chunk > n_ticks (e.g. 7 ticks @ chunk 3
+    # executes 9) — traces are trimmed, but the carry advances the executed
+    # count; see planned_chunks.
+    n_chunks, chunk = planned_chunks(n_ticks, chunk)
     # Stock baseline: the one-time client-side WP projection must run for
     # every entry point (bench, tests, CLI), not just the campaign CLI —
     # stock mode has no per-WP timeout, so a lethal-cost WP would block a
@@ -209,7 +224,7 @@ def run_campaign_repeat(data: CampaignData, teach_grids, wps, n_wps,
         if progress:
             progress(t0 + chunk, n_ticks,
                      int(np.asarray(res.trace.done)[:, -1].sum()))
-        if np.asarray(res.trace.done)[:, -1].all():
+        if stop_when_done and np.asarray(res.trace.done)[:, -1].all():
             break
     trace = _concat_traces(traces, n_ticks)
     return RepeatResult(trace=trace, final=res.final)

@@ -69,14 +69,27 @@ def pack_scene(scene: SceneColliders, drops: RouteDrops | None = None,
     # Feature construction depends only on the collider set, the landmark/
     # camera feature knobs, seed, and session — all in the key.
     import hashlib
+
+    import jax
+
     hsh = hashlib.sha1()
     for a in (scene.xy, scene.radius, scene.height, scene.valid,
               drops.xy, drops.radius, drops.height, drops.valid):
-        hsh.update(np.ascontiguousarray(a).tobytes())
-    cache_key = (hsh.hexdigest(), cfg.landmarks, feat_seed, session)
+        arr = np.ascontiguousarray(a)
+        # shape/dtype delimiters kill byte-concat aliasing across arrays
+        hsh.update(repr((arr.shape, arr.dtype.str)).encode())
+        hsh.update(arr.tobytes())
+    # the active backend is part of the key: tests switch jax_platforms
+    # mid-process, and arrays committed to the old platform must not be
+    # returned on the new one
+    cache_key = (hsh.hexdigest(), cfg.landmarks, feat_seed, session,
+                 jax.default_backend())
     hit = _PACK_CACHE.get(cache_key)
     if hit is not None:
         return hit
+    # bounded: packed feature sets are ~20 MB of device arrays each
+    while len(_PACK_CACHE) >= 16:
+        _PACK_CACHE.pop(next(iter(_PACK_CACHE)))
     xy = np.concatenate([scene.xy, drops.xy], 0)
     radius = np.concatenate([scene.radius, drops.radius], 0)
     height = np.concatenate([scene.height, drops.height], 0)

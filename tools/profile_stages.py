@@ -75,14 +75,14 @@ def main():
         # (note: a compiled program's cost is data-independent — this mode
         # exists to measure stage costs over REPRESENTATIVE control flow,
         # e.g. committed fusion + live costmap windows, and to cross-check
-        # bench's warm-window numbers)
-        from nclt_slam_tpu.rollout.repeat import run_repeat
-        fwarm = jax.jit(jax.vmap(
-            lambda sc, rt, tg, wp, nw, st, c: run_repeat(
-                sc, rt, tg, wp, nw, cfg, args.warm, store=st,
-                carry=c).final,
-            in_axes=(0, 0, 0, 0, 0, 0, 0)))
-        carry = fwarm(scene, route, teach_grid, wps, n_wps, stores, carry)
+        # bench's warm-window numbers).  Warm through the CHUNKED campaign
+        # runner: a single unchunked run_repeat jit of e.g. 2000x15 ticks
+        # exceeds the axon TPU worker's ~60 s single-execution kill limit.
+        from nclt_slam_tpu.rollout.campaign import run_campaign_repeat
+        warm = run_campaign_repeat(data, teach_grid, wps, n_wps, cfg,
+                                   args.warm, stores=stores, carry=carry,
+                                   stop_when_done=False)
+        carry = warm.final
         jax.block_until_ready(carry.robot.xy)
 
     N_TICKS = args.iters
