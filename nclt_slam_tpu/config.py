@@ -542,6 +542,34 @@ class VioConfig:
     # radius of the point's projection under the predicted pose — false
     # (descriptor-aliased) matches can then never support a divergent pose
     proj_gate_px: float = 80.0
+    # --- world-registration discontinuity model (backend events) ---
+    # ORB-SLAM3's reported pose is piecewise-smooth, not smooth: backend
+    # events — visual-inertial scale/gravity refinement, IMU re-init after
+    # tracking stress, relocalization re-registration — SNAP the world
+    # registration of the whole reported trajectory while the map stays
+    # internally consistent.  Our streaming tracker has no multi-threaded
+    # backend to produce those snaps mechanically, so they are modeled at
+    # the emitted-pose interface (the /tmp/slam_pose.txt level the relay
+    # consumes): a scale state about the init origin plus a translation
+    # offset, both updated on tracking-stress-triggered events.  This is
+    # the mechanism behind the reference stock baseline's collapse — live
+    # obstacle paint lands at registration-inconsistent offsets, never
+    # clears, and walls off the believed corridor, sending the stock stack
+    # into endless recovery loops (routes/README.md:179-185,229-242) —
+    # while the anchored stack's matcher keeps re-pinning the registration
+    # and survives with the reference's ~5 m mean drift (README.md:132-151).
+    # Events are stress-gated (NOT a base rate): the reference's teach
+    # drift band (0.34-0.65 m mean) shows the same ORB-SLAM3 runs nearly
+    # snap-free under the smooth, feature-rich teach chase; discontinuities
+    # appear in repeat where stop-turn-go blur and obstacle occlusion
+    # starve the tracker.  snap_p_stressed=0 disables the model.
+    snap_stress_match_n: int = 25  # frame with fewer matches is "stressed"
+    snap_stress_min: int = 3       # consecutive stressed frames to arm
+    snap_p_stressed: float = 0.04  # per-frame event prob while armed
+    snap_frac: float = 0.05        # snap std = frac x dist since last event
+    snap_cap_m: float = 2.0        # per-event snap std cap [m]
+    scale_jump_std: float = 0.012  # scale re-estimate jump std per event
+    scale_revert: float = 0.5      # events pull scale error toward 0
 
 
 @_frozen

@@ -55,7 +55,13 @@ from nclt_slam_tpu.sensors.depth import (
 )
 from nclt_slam_tpu.sensors.features import SceneFeatures, observe
 from nclt_slam_tpu.sensors.imu import ImuState, imu_block, init_imu
-from nclt_slam_tpu.vio.tracker import VioState, emit_slam_pose, init_vio, vio_frame
+from nclt_slam_tpu.vio.tracker import (
+    VioState,
+    emit_body_pos,
+    emit_slam_pose,
+    init_vio,
+    vio_frame,
+)
 
 GRAVITY = jnp.array([0.0, 0.0, -9.81])
 
@@ -117,7 +123,7 @@ def _scene_features(scene: PackedScene) -> SceneFeatures:
 def repeat_step(carry: RepeatCarry, tick, scene: PackedScene,
                 route: PackedRoute, teach_grid, store: LandmarkStore,
                 cfg: Config):
-    key, k_dyn, k_obs, k_match, k_fuse = jax.random.split(carry.key, 5)
+    key, k_dyn, k_obs, k_match, k_fuse, k_vio = jax.random.split(carry.key, 6)
     t_now = tick.astype(jnp.float32) * 0.1
     mode = cfg.mode
 
@@ -159,7 +165,7 @@ def repeat_step(carry: RepeatCarry, tick, scene: PackedScene,
             vio, slam_ok, vio_aux = vio_frame(
                 carry.vio, obs, imu_meas,
                 cfg.sim.nav_decimation / cfg.sim.physics_hz, GRAVITY,
-                cfg.camera, cfg.vio, mode.use_imu)
+                cfg.camera, cfg.vio, mode.use_imu, key=k_vio)
             # local sliding-window BA at 1 Hz (ORB-SLAM3 local mapping)
             if cfg.vio.enable_local_ba:
                 from nclt_slam_tpu.vio.tracker import local_ba
@@ -294,7 +300,7 @@ def repeat_step(carry: RepeatCarry, tick, scene: PackedScene,
         gt_xy=robot.xy, gt_yaw=gt_yaw, nav_xy=nav_xy,
         regime=regime, anchor_ok=anchor_ok, anchor_reason=anchor_reason,
         anchor_shift=anchor_shift, anchor_inliers=anchor_inliers,
-        vio_xy=vio.pos[:2] if mode.use_slam else jnp.zeros(2),
+        vio_xy=emit_body_pos(vio)[:2] if mode.use_slam else jnp.zeros(2),
         vio_tracked=vio.n_tracked if not mode.use_gt else jnp.int32(-1),
         vio_ndesc=vio_aux.n_desc if has_aux else jnp.int32(-1),
         vio_nins=vio_aux.n_ins if has_aux else jnp.int32(-1),

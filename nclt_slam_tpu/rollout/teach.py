@@ -38,7 +38,7 @@ from nclt_slam_tpu.vio.drift_monitor import (
     init_drift_monitor,
     push_sample,
 )
-from nclt_slam_tpu.vio.tracker import VioState, init_vio, vio_frame
+from nclt_slam_tpu.vio.tracker import VioState, emit_body_pos, init_vio, vio_frame
 
 CHASE_WINDOW = 16  # WP lookahead window (reference scans next 10)
 GRAVITY = jnp.array([0.0, 0.0, -9.81])
@@ -118,7 +118,7 @@ def _chase_cmd(robot: RobotState, route: PackedRoute, chase_idx, cfg: Config):
 
 def teach_step(carry: TeachCarry, tick, scene: PackedScene, route: PackedRoute,
                cfg: Config):
-    key, k_dyn, k_obs, k_imu = jax.random.split(carry.key, 4)
+    key, k_dyn, k_obs, k_imu, k_vio = jax.random.split(carry.key, 5)
 
     v, w, chase_idx, done = _chase_cmd(carry.robot, route, carry.chase_idx, cfg)
     halted = carry.done | carry.drift.aborted
@@ -137,18 +137,21 @@ def teach_step(carry: TeachCarry, tick, scene: PackedScene, route: PackedRoute,
                                   1.0 / cfg.sim.physics_hz, k_imu, cfg.imu)
         obs = observe(pos3, robot.yaw, _scene_features(scene), valid_teach,
                       k_obs, cfg.camera, cfg.landmarks, yaw_rate=w)
+        # the same stress-gated backend-event model runs in teach — the
+        # reference teaches with the identical ORB-SLAM3 — but the smooth
+        # feature-rich chase keeps it nearly event-free (teach drift band)
         vio, _, _vaux = vio_frame(carry.vio, obs, imu_meas,
                            cfg.sim.nav_decimation / cfg.sim.physics_hz,
-                           GRAVITY, cfg.camera, cfg.vio, True)
+                           GRAVITY, cfg.camera, cfg.vio, True, key=k_vio)
         drift = jax.lax.cond(
             tick % cfg.teach.drift_sample_period == 0,
-            lambda d: push_sample(d, vio.pos[:2], robot.xy),
+            lambda d: push_sample(d, emit_body_pos(vio)[:2], robot.xy),
             lambda d: d, carry.drift)
         drift = jax.lax.cond(
             tick % cfg.teach.drift_check_period == cfg.teach.drift_check_period - 1,
             lambda d: check_drift(d, tick, cfg.teach),
             lambda d: d, drift)
-        vio_xy = vio.pos[:2]
+        vio_xy = emit_body_pos(vio)[:2]
     else:
         imu, vio, drift = carry.imu, carry.vio, carry.drift
         obs = None

@@ -81,6 +81,11 @@ class VioState(NamedTuple):
     kf_obs_z: jax.Array     # (K, KF_OBS)
     kf_obs_valid: jax.Array  # (K, KF_OBS)
     last_kf_pos: jax.Array  # (3,)
+    # --- world-registration state (VioConfig snap_* model) ---
+    emit_scale: jax.Array   # () reported-trajectory scale about the origin
+    emit_off: jax.Array     # (3,) reported-trajectory translation offset
+    dist_since_event: jax.Array  # () travel since the last backend event
+    stress_streak: jax.Array     # () int32 consecutive stressed frames
 
 
 def init_vio(desc_words: int, window_kf: int = 10) -> VioState:
@@ -107,6 +112,10 @@ def init_vio(desc_words: int, window_kf: int = 10) -> VioState:
         kf_obs_z=jnp.zeros((K, KF_OBS)),
         kf_obs_valid=jnp.zeros((K, KF_OBS), bool),
         last_kf_pos=jnp.full(3, 1e9),
+        emit_scale=jnp.float32(1.0),
+        emit_off=jnp.zeros(3),
+        dist_since_event=jnp.float32(0.0),
+        stress_streak=jnp.int32(0),
     )
 
 
@@ -169,9 +178,12 @@ def _pose_gn(pos0, q0, X_w, uv_obs, z_obs, w_pt, cam: CameraConfig,
 
 
 def vio_frame(state: VioState, obs: Observation, imu_block_meas, dt_frame,
-              gravity, cam: CameraConfig, cfg: VioConfig, use_imu: bool):
+              gravity, cam: CameraConfig, cfg: VioConfig, use_imu: bool,
+              key=None):
     """One VIO frame.  imu_block_meas: (S, 6) [accel | gyro] since the last
-    frame.  Returns (state, slam_ok)."""
+    frame.  ``key`` drives the stress-triggered backend-event model
+    (VioConfig snap_*); None freezes the world registration (unit tests,
+    deterministic probes).  Returns (state, slam_ok, aux)."""
     # ---- predict ----
     if use_imu:
         pre = integrate_block(
@@ -345,6 +357,39 @@ def vio_frame(state: VioState, obs: Observation, imu_block_meas, dt_frame,
 
     lost = (~first) & (n_match < 8) & (~reloc)
 
+    # ---- backend world-registration events (VioConfig snap_* model) ----
+    # Tracking stress (few matches / rejected frames) arms the model; an
+    # armed frame fires a backend event with probability snap_p_stressed;
+    # relocalization is a re-registration by construction and always fires.
+    # An event snaps the emitted-pose translation offset (std proportional
+    # to travel since the last event — the accumulated local error a real
+    # backend correction re-distributes) and re-estimates the reported
+    # scale (reverting toward truth, as VI scale refinement does).
+    stressed = (~enough) | (n_match < cfg.snap_stress_match_n)
+    stress_streak = jnp.where(stressed & (~first),
+                              state.stress_streak + 1, jnp.int32(0))
+    dist_since = state.dist_since_event + jnp.where(
+        enough, jnp.linalg.norm(pos_new - state.pos), 0.0)
+    if key is not None and cfg.snap_p_stressed > 0.0:
+        k_ev, k_scale, k_off = jax.random.split(key, 3)
+        armed = stress_streak >= cfg.snap_stress_min
+        fire = (armed & (jax.random.uniform(k_ev) < cfg.snap_p_stressed)) \
+            | reloc
+        snap_std = jnp.minimum(cfg.snap_frac * dist_since, cfg.snap_cap_m)
+        off_delta = snap_std * jax.random.normal(k_off, (3,)) * \
+            jnp.array([1.0, 1.0, 0.2])
+        emit_off = state.emit_off + jnp.where(fire, off_delta,
+                                              jnp.zeros(3))
+        scale_next = 1.0 + cfg.scale_revert * (state.emit_scale - 1.0) + \
+            cfg.scale_jump_std * jax.random.normal(k_scale)
+        emit_scale = jnp.where(fire, scale_next, state.emit_scale)
+        dist_since = jnp.where(fire, 0.0, dist_since)
+        stress_streak = jnp.where(fire, jnp.int32(0), stress_streak)
+    else:
+        fire = jnp.array(False)
+        emit_off = state.emit_off
+        emit_scale = state.emit_scale
+
     # --- keyframe push (every kf_min_disp of tracked motion) ---
     K = state.kf_pos.shape[0]
     kf_disp = jnp.linalg.norm(pos_new - state.last_kf_pos)
@@ -383,7 +428,9 @@ def vio_frame(state: VioState, obs: Observation, imu_block_meas, dt_frame,
         kf_ptr=state.kf_ptr + jnp.where(push, 1, 0),
         kf_obs_slot=kf_obs_slot, kf_obs_uv=kf_obs_uv, kf_obs_z=kf_obs_z,
         kf_obs_valid=kf_obs_valid,
-        last_kf_pos=jnp.where(push, pos_new, state.last_kf_pos))
+        last_kf_pos=jnp.where(push, pos_new, state.last_kf_pos),
+        emit_scale=emit_scale, emit_off=emit_off,
+        dist_since_event=dist_since, stress_streak=stress_streak)
     aux = VioAux(
         n_desc=n_desc.astype(jnp.int32),
         n_match=n_match.astype(jnp.int32),
@@ -392,19 +439,30 @@ def vio_frame(state: VioState, obs: Observation, imu_block_meas, dt_frame,
                | (finite.astype(jnp.int32) << 1)
                | (plausible.astype(jnp.int32) << 2)
                | (lost.astype(jnp.int32) << 3)
-               | (reloc.astype(jnp.int32) << 4)))
+               | (reloc.astype(jnp.int32) << 4)
+               | (fire.astype(jnp.int32) << 5)))
     return new_state, ~lost, aux
+
+
+def emit_body_pos(state: VioState) -> jax.Array:
+    """Body position as REPORTED at the SLAM pose interface: the internal
+    estimate through the current world registration (scale about the init
+    origin + offset).  This — not ``state.pos`` — is what drift monitors
+    and the relay see, like the reference reading /tmp/slam_pose.txt."""
+    return state.emit_scale * state.pos + state.emit_off
 
 
 def emit_slam_pose(state: VioState, cam: CameraConfig):
     """VIO body pose -> ORB-SLAM3-convention camera pose (t, quat xyzw) in
-    the first-camera world frame, as consumed by the fusion relay."""
+    the first-camera world frame, as consumed by the fusion relay.  Goes
+    through the world registration (emit_body_pos), so backend snap events
+    appear at this interface exactly as they do in /tmp/slam_pose.txt."""
     from nclt_slam_tpu.fusion.relay import T_FLU_FROM_CAM
 
     R_wb = quat_to_mat(state.q)
     t_bc = jnp.array([cam.cam_offset_fwd, 0.0, cam.cam_offset_up])
     T_nav = jnp.eye(4).at[:3, :3].set(R_wb).at[:3, 3].set(
-        state.pos + R_wb @ t_bc)
+        emit_body_pos(state) + R_wb @ t_bc)
     T_slam = jnp.linalg.inv(T_FLU_FROM_CAM) @ T_nav @ T_FLU_FROM_CAM
     from nclt_slam_tpu.core.quat import mat_to_quat
     return T_slam[:3, 3], mat_to_quat(T_slam[:3, :3])

@@ -130,3 +130,66 @@ def test_vio_emit_slam_convention(vio_drive):
         quat_rotate(vio.q, jnp.array([CFG.camera.cam_offset_fwd, 0.0,
                                       CFG.camera.cam_offset_up])))
     assert np.allclose(T_nav[:3, 3], cam_world, atol=1e-4)
+
+
+def test_backend_events_fire_under_stress_only():
+    """The world-registration model (VioConfig snap_*): tracking stress
+    triggers backend events that snap the emitted registration; a keyless
+    call (unit-test / deterministic mode) keeps the registration frozen."""
+    import dataclasses
+
+    from nclt_slam_tpu.sensors.features import Observation
+    from nclt_slam_tpu.vio.tracker import emit_body_pos
+
+    vcfg = dataclasses.replace(
+        CFG.vio, snap_p_stressed=1.0, snap_stress_min=2,
+        snap_frac=0.5, snap_cap_m=2.0, scale_jump_std=0.02)
+    K = CFG.landmarks.max_obs_features
+    W = CFG.landmarks.desc_words
+    # featureless frames = maximal tracking stress (n_match == 0)
+    empty = Observation(
+        uv=jnp.zeros((K, 2)), p3d_cam=jnp.ones((K, 3)),
+        desc=jnp.zeros((K, W), jnp.uint32),
+        feat_id=jnp.zeros(K, jnp.int32), valid=jnp.zeros(K, bool))
+    meas = jnp.tile(jnp.array([0.0, 0.0, 9.81, 0.0, 0.0, 0.0]), (20, 1))
+
+    vio = init_vio(W, CFG.vio.window_kf)
+    # seed some travel so the snap std (frac x dist) is nonzero even
+    # without tracked motion
+    vio = vio._replace(dist_since_event=jnp.float32(20.0))
+
+    key = jax.random.PRNGKey(0)
+    fired = 0
+    for t in range(6):
+        key, k = jax.random.split(key)
+        vio, ok, aux = vio_frame(vio, empty, meas, 0.1, GRAVITY, CFG.camera,
+                                 vcfg, True, key=k)
+        fired += int(aux.flags) >> 5 & 1
+    assert fired >= 1, "stressed frames with p=1 must fire backend events"
+    off = np.asarray(vio.emit_off)
+    assert np.linalg.norm(off[:2]) > 0.0
+    # emitted pose goes through the registration
+    emitted = np.asarray(emit_body_pos(vio))
+    raw = np.asarray(vio.pos)
+    assert not np.allclose(emitted, raw)
+
+    # keyless: registration frozen even under identical stress
+    vio2 = init_vio(W, CFG.vio.window_kf)
+    vio2 = vio2._replace(dist_since_event=jnp.float32(20.0))
+    for t in range(6):
+        vio2, ok, aux = vio_frame(vio2, empty, meas, 0.1, GRAVITY,
+                                  CFG.camera, vcfg, True)
+        assert (int(aux.flags) >> 5 & 1) == 0
+    assert float(vio2.emit_scale) == 1.0
+    assert np.allclose(np.asarray(vio2.emit_off), 0.0)
+
+
+def test_backend_events_quiet_when_healthy(vio_drive):
+    """A healthy, feature-rich drive must stay essentially event-free even
+    WITH a key (stress gating) — the reference's teach drift band shows
+    ORB-SLAM3 running nearly snap-free under the smooth teach chase."""
+    gt, est, tracked, vio = vio_drive
+    # the fixture ran keyless; verify its match counts would never arm the
+    # stress gate under the default config
+    armed = (np.asarray(tracked[20:]) < CFG.vio.snap_stress_match_n)
+    assert armed.mean() < 0.1, armed.mean()
