@@ -191,7 +191,84 @@ def _roofline():
                 "mfu_bf16_pct": round(100.0 * achieved / PEAK_BF16, 2),
             })
     out["raycast"] = _bench_raycast()
+    out["pgo"] = _bench_pgo()
     return out
+
+
+def _bench_pgo(K: int = 2000, n_loops: int = 48, iters: int = 5):
+    """km-scale 2-D PGO: the fused Pallas junction solver (production path,
+    datasets/slam/pipeline.py) vs the XLA dense jacfwd optimizer it
+    replaced, at the NCLT ladder's 2000-pose shape.  Also reports the
+    XLA-reduced middle ground so the kernel's own contribution is visible."""
+    import numpy as np
+
+    from nclt_slam_tpu.datasets.slam.loop_closure import (
+        PoseGraph2D,
+        optimize_pose_graph,
+        optimize_pose_graph_fast,
+        reduce_pose_graph,
+    )
+    from nclt_slam_tpu.ops.pgo_pallas import optimize_pgo_pallas
+
+    rng = np.random.RandomState(11)
+    th = np.linspace(0, 4 * np.pi, K)
+    gt = np.stack([60 * np.cos(th), 60 * np.sin(th), th + np.pi / 2], -1)
+    odo = np.diff(gt, axis=0).astype(np.float32)
+    # convert world diffs to body frame + noise
+    c, s = np.cos(gt[:-1, 2]), np.sin(gt[:-1, 2])
+    odo = np.stack([c * odo[:, 0] + s * odo[:, 1],
+                    -s * odo[:, 0] + c * odo[:, 1],
+                    odo[:, 2]], -1).astype(np.float32)
+    odo[:, :2] += rng.normal(0, 0.02, (K - 1, 2)) + 0.003
+    poses = np.zeros((K, 3), np.float32)
+    poses[0] = gt[0]
+    for k in range(K - 1):
+        cc, ss = np.cos(poses[k, 2]), np.sin(poses[k, 2])
+        poses[k + 1] = (poses[k, 0] + cc * odo[k, 0] - ss * odo[k, 1],
+                        poses[k, 1] + ss * odo[k, 0] + cc * odo[k, 1],
+                        poses[k, 2] + odo[k, 2])
+    li = np.linspace(10, K // 2 - 10, n_loops).astype(np.int32)
+    lj = np.minimum(li + K // 2, K - 1).astype(np.int32)
+    lm = np.zeros((n_loops, 3), np.float32)
+    for e in range(n_loops):
+        i, j = li[e], lj[e]
+        cc, ss = np.cos(gt[i, 2]), np.sin(gt[i, 2])
+        d = gt[j, :2] - gt[i, :2]
+        lm[e] = (cc * d[0] + ss * d[1], -ss * d[0] + cc * d[1],
+                 gt[j, 2] - gt[i, 2])
+    graph = PoseGraph2D(
+        poses=jnp.asarray(poses), odo_meas=jnp.asarray(odo),
+        loop_i=jnp.asarray(li), loop_j=jnp.asarray(lj),
+        loop_meas=jnp.asarray(lm),
+        loop_valid=jnp.ones(n_loops, bool))
+    reduced, red_w, junctions = reduce_pose_graph(graph, 1.0)
+
+    def t_of(fn, reps=3):
+        fn()  # compile/prime
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            fn()
+        return (time.perf_counter() - t0) / reps
+
+    f_dense = jax.jit(lambda g: optimize_pose_graph(g, iters=iters))
+    t_dense = t_of(lambda: jax.block_until_ready(f_dense(graph)), reps=1)
+    f_red = jax.jit(lambda g, w: optimize_pose_graph(g, iters=iters,
+                                                     odo_w=w))
+    t_red = t_of(lambda: jax.block_until_ready(f_red(reduced, red_w)))
+    t_pal = t_of(lambda: jax.block_until_ready(
+        optimize_pgo_pallas(reduced, red_w, iters=iters)))
+    # production path end-to-end (host reduction + pallas solve + expand)
+    t_fast = t_of(lambda: optimize_pose_graph_fast(graph, iters=iters))
+    return {
+        "K": K, "loops": n_loops, "iters": iters,
+        "Kr": int(reduced.poses.shape[0]),
+        "xla_dense_s": round(t_dense, 3),
+        "xla_reduced_s": round(t_red, 4),
+        "pallas_reduced_s": round(t_pal, 4),
+        "fast_end_to_end_s": round(t_fast, 4),
+        "speedup_vs_dense": round(t_dense / max(t_fast, 1e-9), 1),
+        "kernel_vs_xla_reduced": round(t_red / max(t_pal, 1e-9), 2),
+    }
 
 
 def _bench_raycast(batch: int = 15, reps: int = 50):

@@ -561,11 +561,20 @@ class VioConfig:
     # Events are stress-gated (NOT a base rate): the reference's teach
     # drift band (0.34-0.65 m mean) shows the same ORB-SLAM3 runs nearly
     # snap-free under the smooth, feature-rich teach chase; discontinuities
-    # appear in repeat where stop-turn-go blur and obstacle occlusion
-    # starve the tracker.  snap_p_stressed=0 disables the model.
-    snap_stress_match_n: int = 25  # frame with fewer matches is "stressed"
-    snap_stress_min: int = 3       # consecutive stressed frames to arm
-    snap_p_stressed: float = 0.04  # per-frame event prob while armed
+    # appear in repeat under rotation-heavy, low-parallax maneuvers —
+    # planner-correction spins, recovery behaviors, wedge reversals —
+    # which is where ORB-SLAM3's VI estimator actually re-initializes
+    # (pure rotation gives no translation parallax, motion blur kills
+    # ORB, and the IMU integration window restarts).  Stress = sustained
+    # body rotation above snap_stress_rot OR match starvation.  The teach
+    # chase turns at <= 0.5 rad/s, the repeat follower/recoveries at
+    # 0.8-1.0 rad/s — the 0.62 threshold separates them, reproducing the
+    # reference's teach-clean / repeat-jumpy asymmetry.
+    # snap_p_stressed=0 disables the model.
+    snap_stress_match_n: int = 60  # frame with fewer matches is "stressed"
+    snap_stress_rot: float = 0.62  # rad/s body rotation rate = "stressed"
+    snap_stress_min: int = 5       # consecutive stressed frames to arm
+    snap_p_stressed: float = 0.08  # per-frame event prob while armed
     snap_frac: float = 0.05        # snap std = frac x dist since last event
     snap_cap_m: float = 2.0        # per-event snap std cap [m]
     scale_jump_std: float = 0.012  # scale re-estimate jump std per event

@@ -198,8 +198,17 @@ def run_slam(scans, scan_valid, odom_pred=None, gps_xy=None,
         loop_j=jnp.asarray(lj, jnp.int32),
         loop_meas=jnp.asarray(loop_meas),
         loop_valid=jnp.asarray(found))
-    optimized = np.asarray(jax.jit(
-        lambda g: optimize_pose_graph(g, iters=15))(graph))
+    if T_n >= 400:
+        # km-scale: junction-reduced PGO through the fused Pallas solver
+        # (the dense jacfwd path materializes a ~(6K, 3K) Jacobian per GN
+        # iteration — 145 MB at 2000 poses)
+        from nclt_slam_tpu.datasets.slam.loop_closure import (
+            optimize_pose_graph_fast,
+        )
+        optimized = np.asarray(optimize_pose_graph_fast(graph, iters=15))
+    else:
+        optimized = np.asarray(jax.jit(
+            lambda g: optimize_pose_graph(g, iters=15))(graph))
     return {
         "poses_open": poses2d,
         "poses_optimized": optimized,

@@ -358,14 +358,20 @@ def vio_frame(state: VioState, obs: Observation, imu_block_meas, dt_frame,
     lost = (~first) & (n_match < 8) & (~reloc)
 
     # ---- backend world-registration events (VioConfig snap_* model) ----
-    # Tracking stress (few matches / rejected frames) arms the model; an
-    # armed frame fires a backend event with probability snap_p_stressed;
-    # relocalization is a re-registration by construction and always fires.
-    # An event snaps the emitted-pose translation offset (std proportional
-    # to travel since the last event — the accumulated local error a real
-    # backend correction re-distributes) and re-estimates the reported
-    # scale (reverting toward truth, as VI scale refinement does).
-    stressed = (~enough) | (n_match < cfg.snap_stress_match_n)
+    # Tracking stress arms the model; an armed frame fires a backend event
+    # with probability snap_p_stressed; relocalization is a
+    # re-registration by construction and always fires.  Stress =
+    # sustained body rotation (pure rotation is ORB-SLAM3's worst case:
+    # no translation parallax, motion blur, VI re-initialization) OR
+    # match starvation / rejected frames.  An event snaps the
+    # emitted-pose translation offset (std proportional to travel since
+    # the last event — the accumulated local error a real backend
+    # correction re-distributes) and re-estimates the reported scale
+    # (reverting toward truth, as VI scale refinement does).
+    rot_rate = jnp.linalg.norm(so3_log(
+        quat_mul(quat_conj(state.q), q_new))) / jnp.maximum(dt_frame, 1e-3)
+    stressed = (~enough) | (n_match < cfg.snap_stress_match_n) | \
+        (rot_rate > cfg.snap_stress_rot)
     stress_streak = jnp.where(stressed & (~first),
                               state.stress_streak + 1, jnp.int32(0))
     dist_since = state.dist_since_event + jnp.where(
