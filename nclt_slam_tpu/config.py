@@ -130,6 +130,18 @@ class EncoderConfig:
 
     dist_noise: float = 0.005          # 0.5 % distance noise
     compass_noise: float = 0.05        # rad white noise on yaw
+    # v55 integrates the UNSIGNED GT displacement along the noisy heading
+    # (v55.py:494-498: displacement = hypot(dx, dy), always forward).
+    # Reversing therefore integrates FORWARD: every recovery backup or
+    # wedge reversal corrupts the dead-reckoning by its full length — the
+    # runaway that turns the stock baseline's recovery loops into
+    # unbounded localization error ("VIO+encoder accumulates 2-6 m ...
+    # recovery behaviors loop endlessly", routes/README.md:179-185).
+    # Round 2 "fixed" this with a signed heading projection, which
+    # silently bounded anchorless drift at ~2-3 m and erased the stock
+    # collapse; False restores reference parity.  True remains available
+    # as the physically-correct-encoder ablation.
+    signed_disp: bool = False
     # rate-gyro compass drift (rad/s bias random-walk applied to the heading
     # source).  0 = the reference's absolute-compass model (v55.py:662-664:
     # "compass+gyro fusion = GT yaw + noise" — white, not integrated), which
@@ -398,6 +410,18 @@ class PlannerConfig:
     # Nav2 has none — the GT-stall watchdog ends the run), no final-WP
     # special policy; plan failure still advances (stop_on_failure: false).
     stock_follow: bool = False
+    # NavFn goal tolerance (nav2_stock_params.yaml v3c: 'tolerance: 1.0' —
+    # planning FAILS when every cell within 1 m of the goal is lethal;
+    # 3.0 returned trivial near-goal plans and wait-looped the BT forever)
+    stock_goal_tolerance_m: float = 1.0
+    # ticks a planner-failed goal survives before NavigateToPose aborts and
+    # waypoint_follower (stop_on_failure=false) moves on: the BT cycles
+    # costmap-clear retries + spin/backup/wait recovery rounds first —
+    # ~90 s of 'recovery behaviors loop endlessly ... robot barely moves'
+    # per blocked WP (routes/README.md:179-185).  With localization drift
+    # putting consecutive WPs in static-map inflation, this is the crawl
+    # that ends the reference's stock runs at 30-100 m via the tier timeout.
+    stock_abort_ticks: int = 900
 
 
 @_frozen

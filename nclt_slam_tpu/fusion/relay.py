@@ -230,11 +230,18 @@ def fusion_tick(state: FusionState, gt_x, gt_y, gt_yaw, slam_t, slam_quat,
         enc_cfg.compass_noise * jax.random.normal(k1)
     d = jnp.array([gt_x, gt_y]) - state.prev_gt_xy
     displacement = jnp.linalg.norm(d)
-    # real encoders read SIGNED wheel rotation: project the displacement on
-    # the heading so reversing integrates backwards (the reference's
-    # unsigned model runs away under the follower's wedge reversals)
-    signed_disp = d[0] * jnp.cos(gt_yaw) + d[1] * jnp.sin(gt_yaw)
-    noisy_disp = signed_disp * (1.0 + enc_cfg.dist_noise * jax.random.normal(k2))
+    # v55 parity: UNSIGNED displacement along the noisy heading
+    # (v55.py:494-498) — reversals integrate forward, so recovery backups
+    # and wedge reversals corrupt the dead-reckoning by their full length.
+    # This runaway is load-bearing for the reference's stock-Nav2 collapse
+    # (recovery loops -> unbounded encoder error -> goal_checker never
+    # REACHes; routes/README.md:179-185).  EncoderConfig.signed_disp=True
+    # selects the physically-correct signed-wheel model instead.
+    if enc_cfg.signed_disp:
+        base_disp = d[0] * jnp.cos(gt_yaw) + d[1] * jnp.sin(gt_yaw)
+    else:
+        base_disp = displacement
+    noisy_disp = base_disp * (1.0 + enc_cfg.dist_noise * jax.random.normal(k2))
     move = (~first) & (displacement > 0.001)
     enc_xy = jnp.where(
         first, jnp.array([gt_x, gt_y]),

@@ -44,10 +44,12 @@ class DispatchState(NamedTuple):
     reached_count: jax.Array  # () int32
     skipped_count: jax.Array  # () int32
     done: jax.Array           # () bool — all WPs consumed
-    goal_blocked: jax.Array   # () bool — current WP sits in lethal cost
-    #   (stock mode: the Nav2 BT masks an unreachable goal with trivial
-    #   plans and wait-loops forever instead of aborting — the reference
-    #   baseline's stall; see dispatch_move)
+    goal_blocked: jax.Array   # () bool — stock: NavFn planning fails (all
+    #   cells within the 1 m goal tolerance lethal); the BT then cycles
+    #   recovery rounds with no path until NavigateToPose aborts after
+    #   stock_abort_ticks and stop_on_failure=false moves on — the
+    #   reference baseline's crawl-stall (see dispatch_move)
+    blocked_ticks: jax.Array  # () int32 — consecutive goal_blocked ticks
 
 
 def subsample_waypoints(dense_xy: np.ndarray, n_dense: int, cfg: PlannerConfig):
@@ -152,6 +154,7 @@ def init_dispatch(wps, n_wps, cfg: PlannerConfig) -> DispatchState:
         skipped_count=jnp.int32(0),
         done=jnp.array(False),
         goal_blocked=jnp.array(False),
+        blocked_ticks=jnp.int32(0),
     )
 
 
@@ -294,24 +297,42 @@ def dispatch_plan(state: DispatchState, robot_xy, cost_win, win_r0, win_c0,
     plan = plan_world(cost_win, win_r0, win_c0, robot_xy, target, map_cfg, cfg)
     plan_good = plan.ok & (plan.n_path > 1)
 
-    # current goal inside (inscribed-)lethal cost — feeds the stock-mode
-    # BT wait-loop stall (see dispatch_move); evaluated at plan cadence
-    # like Nav2's planner_server peeking the global costmap
-    goal_cost = _cost_peak_3x3(cost_win, win_r0, win_c0, target, map_cfg,
-                               cfg.window)
-    goal_blocked = goal_cost >= 99.0
+    # stock: NavFn planning FAILS when every cell within the goal
+    # tolerance (1 m, nav2_stock_params.yaml v3c) is lethal — evaluated at
+    # plan cadence like Nav2's planner_server peeking the global costmap.
+    # The hybrid stack never planned to such goals in the first place
+    # (projection/skip moved them), so the tighter 3x3 peak stays its gate.
+    if cfg.stock_follow:
+        tol = cfg.stock_goal_tolerance_m
+        ang = 2.0 * jnp.pi * jnp.arange(8) / 8
+        rads = jnp.asarray([0.0, 0.5 * tol, tol])
+        disc = target[None, None, :] + rads[:, None, None] * jnp.stack(
+            [jnp.cos(ang), jnp.sin(ang)], -1)[None, :, :]
+        disc_cost = _cost_at(cost_win, win_r0, win_c0, disc, map_cfg,
+                             cfg.window)
+        goal_blocked = disc_cost.min() >= 99.0
+    else:
+        goal_cost = _cost_peak_3x3(cost_win, win_r0, win_c0, target,
+                                   map_cfg, cfg.window)
+        goal_blocked = goal_cost >= 99.0
 
-    # path-commitment acceptance gate
+    # path-commitment acceptance gate.  Stock: a planner-failed (blocked)
+    # goal leaves the BT with NO path — the controller publishes zero and
+    # the progress checker drives the recovery cycle (spin/backup/wait)
+    # until the abort in dispatch_move.
     target_changed = jnp.linalg.norm(target - state.planned_target) > 0.5
     stale = (tick - state.plan_tick) >= cfg.replan_period
     accept = plan_good & (target_changed | stale | (~state.has_path))
+    if cfg.stock_follow:
+        accept = accept & ~goal_blocked
 
     return state._replace(
         target=target,
         skip=skip,
         path_xy=jnp.where(accept, plan.path_xy, state.path_xy),
         n_path=jnp.where(accept, plan.n_path, state.n_path),
-        has_path=accept | state.has_path,
+        has_path=jnp.where(cfg.stock_follow & goal_blocked,
+                           jnp.array(False), accept | state.has_path),
         plan_version=state.plan_version + jnp.where(accept, 1, 0),
         plan_tick=jnp.where(accept, tick, state.plan_tick),
         planned_target=jnp.where(accept, target, state.planned_target),
@@ -338,21 +359,23 @@ def dispatch_move(state: DispatchState, robot_xy, known_xy, known_r,
         late_detect = jnp.array(False)
 
     if cfg.stock_follow:
-        # stock Nav2 WaypointFollower: no per-WP timeout exists — a goal the
-        # goal_checker never declares reached blocks forever (the reference
-        # baseline's stall mode).  NavigateToPose aborts on repeated HARD
-        # planner failure (stop_on_failure=false then moves on), but a goal
-        # sitting in lethal-inflated cost never aborts: NavFn's tolerance
-        # yields trivial near-goal plans the BT treats as progress, so the
-        # behavior tree wait-loops forever (nav2_stock_params.yaml:18-22
-        # 'BT then got stuck in wait recovery loop';
-        # routes/README.md:179-185 'recovery behaviors loop endlessly...
-        # robot barely moves').  With localization drift painting the live
-        # obstacle layer off-register, lethal goals are exactly what long
-        # routes produce — the reference's 2/15 reach, 17 % coverage stall.
+        # stock Nav2 WaypointFollower: no per-WP timeout exists — a goal
+        # the goal_checker never declares reached blocks forever.  A
+        # planner-FAILED goal (all cells within the NavFn tolerance
+        # lethal — drift pushed the WP into static-map inflation) leaves
+        # the BT path-less: the progress checker stalls, recovery rounds
+        # cycle (spin/backup/wait — each spin blurring the VIO, each
+        # backup corrupting the unsigned encoder), and after
+        # stock_abort_ticks NavigateToPose aborts; stop_on_failure=false
+        # then moves to the next — usually equally blocked — WP.  This
+        # crawl is the reference's stall: 'recovery behaviors loop
+        # endlessly ... robot barely moves' (routes/README.md:179-185),
+        # runs ending at 30-100 m by the tier timeout.
         skip_now = state.skip[idx]
-        fail_skip = (~state.goal_blocked) & \
-            (state.plan_fails >= cfg.max_plan_fails)
+        aborted = state.goal_blocked & \
+            (state.blocked_ticks >= cfg.stock_abort_ticks)
+        fail_skip = aborted | ((~state.goal_blocked) &
+                               (state.plan_fails >= cfg.max_plan_fails))
     else:
         skip_now = (state.skip[idx] | late_detect) & ~is_final
         max_fails = jnp.where(is_final, 10 ** 6, cfg.max_plan_fails)
@@ -372,6 +395,8 @@ def dispatch_move(state: DispatchState, robot_xy, known_xy, known_r,
         target=jnp.where(advance, next_wp, state.target),
         ticks_on_wp=jnp.where(advance, 0, state.ticks_on_wp + 1),
         plan_fails=jnp.where(advance, 0, state.plan_fails),
+        blocked_ticks=jnp.where(advance | ~state.goal_blocked, 0,
+                                state.blocked_ticks + 1),
         reached_count=state.reached_count
         + jnp.where(reached & advance, 1, 0),
         skipped_count=state.skipped_count

@@ -97,19 +97,28 @@ def plan_window(cost, start_rc, goal_rc, map_cfg: MapConfig,
     sr, sc = start_rc
     ok = phi[sr, sc] < BIG
 
-    # steepest-descent extraction from the start cell
-    rr = jnp.stack(jnp.meshgrid(jnp.arange(-1, 2), jnp.arange(-1, 2),
-                                indexing="ij"), -1).reshape(9, 2)
+    # descent extraction from the start cell.  The Bellman equation is
+    # phi[x] = min_n (scale(n) * tc[x] + phi[n]), so the optimal next cell
+    # minimizes phi[n] + scale(n) * tc[x] — descending on raw phi[n]
+    # ignores the 1.41x diagonal surcharge and over-selects diagonals
+    # through inflation zones (caught by the full-grid oracle test: 24 %
+    # path-cost excess on walled detour legs).
+    offs = [(dr, dc) for dr in (-1, 0, 1) for dc in (-1, 0, 1)
+            if (dr, dc) != (0, 0)]
+    rr = jnp.asarray(offs, jnp.int32)
+    step_scale = jnp.asarray(
+        [1.4142135 if (dr and dc) else 1.0 for dr, dc in offs], jnp.float32)
 
     def step(carry, _):
         r, c, done = carry
         nr = jnp.clip(r + rr[:, 0], 0, W - 1)
         nc = jnp.clip(c + rr[:, 1], 0, W - 1)
-        vals = phi[nr, nc]
+        vals = phi[nr, nc] + step_scale * tc[r, c]
         k = jnp.argmin(vals)
         r2, c2 = nr[k], nc[k]
         at_goal = (r2 == gr) & (c2 == gc)
-        stuck = (r2 == r) & (c2 == c)
+        # border-clipped neighbors can alias the current cell
+        stuck = ((r2 == r) & (c2 == c)) | (phi[r2, c2] >= phi[r, c])
         r3 = jnp.where(done, r, r2)
         c3 = jnp.where(done, c, c2)
         return (r3, c3, done | at_goal | stuck), (r3, c3, ~done)

@@ -61,7 +61,12 @@ def build_drops(route: Route, seed: int = 11) -> RouteDrops:
     """Cone-wall style for the first four routes, prop clusters otherwise —
     mirrors the reference's placement rules (routes/README.md:553-568):
     obstacles sit ON the outbound path with a >= 2 m bypass on one side."""
-    rng = np.random.RandomState(seed * 1000 + hash(route.name) % 1000)
+    # zlib.crc32, NOT hash(): str hashing is randomized per process
+    # (PYTHONHASHSEED), which made drop layouts — and every campaign table
+    # built from them — unreproducible across runs
+    import zlib
+    rng = np.random.RandomState(
+        seed * 1000 + zlib.crc32(route.name.encode()) % 1000)
     entries = []  # (x, y, r, h)
     route_no = int(route.name.split("_")[0])
 

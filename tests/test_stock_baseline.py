@@ -195,27 +195,34 @@ def test_stock_config_shape():
     assert cfg.mode.use_slam and cfg.mode.use_imu
 
 
-def test_stock_goal_blocked_waitloop_never_advances():
-    """A goal in lethal-inflated cost wait-loops forever in stock mode
-    (Nav2 BT masks the unreachable goal with trivial plans instead of
-    aborting — routes/README.md:179-185); hard planner failures still
-    advance via stop_on_failure=false."""
+def test_stock_goal_blocked_recovery_crawl_then_abort():
+    """A planner-failed goal (NavFn tolerance disc all lethal) holds the BT
+    in recovery rounds — NO advance — for stock_abort_ticks, then
+    NavigateToPose aborts and stop_on_failure=false moves on
+    (routes/README.md:179-185's crawl-stall); hard planner failures on a
+    plannable goal still advance via the retry budget."""
     cfg = stock_nav2().planner
     wps = np.zeros((cfg.max_waypoints, 2), np.float32)
     wps[:4] = [[0, 0], [10, 0], [20, 0], [30, 0]]
     st = init_dispatch(jnp.asarray(wps), 4, cfg)
     st = st._replace(idx=jnp.int32(1), target=jnp.array([10.0, 0.0]),
                      goal_blocked=jnp.array(True),
-                     plan_fails=jnp.int32(10 ** 4))
+                     plan_fails=jnp.int32(10 ** 4),
+                     blocked_ticks=jnp.int32(cfg.stock_abort_ticks - 5))
     robot = jnp.array([0.0, 0.0])
     zero = jnp.zeros(1)
-    for _ in range(3):
+    for k in range(4):
         st = dispatch_move(st, robot, zero[:, None].repeat(2, 1), zero,
                            jnp.zeros(1, bool), cfg)
         st = st._replace(plan_fails=jnp.int32(10 ** 4))
-    assert int(st.idx) == 1          # blocked goal: BT wait-loop
+        assert int(st.idx) == 1      # recovery rounds: no advance yet
+    # crosses the abort budget -> next move advances
+    for _ in range(4):
+        st = dispatch_move(st, robot, zero[:, None].repeat(2, 1), zero,
+                           jnp.zeros(1, bool), cfg)
+    assert int(st.idx) == 2
 
-    # same accumulated failures with a plannable goal -> moves on
+    # same accumulated failures with a plannable goal -> moves on at once
     st2 = init_dispatch(jnp.asarray(wps), 4, cfg)
     st2 = st2._replace(idx=jnp.int32(1), target=jnp.array([10.0, 0.0]),
                        goal_blocked=jnp.array(False),
