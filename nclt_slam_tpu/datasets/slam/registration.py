@@ -147,14 +147,27 @@ def ransac_registration(src, src_valid, dst, dst_valid, key,
 
 def register_loop(src, src_valid, dst, dst_valid, key,
                   ransac_iters: int = 256, icp_iters: int = 20,
-                  max_corr: float = 1.0) -> RegistrationResult:
+                  max_corr: float = 1.0,
+                  fitness_min: float = 0.55) -> RegistrationResult:
     """Loop-candidate registration: FPFH-RANSAC global alignment, then
     point-to-point ICP refinement (loop_closure.py's
-    global-registration-then-ICP chain)."""
+    global-registration-then-ICP chain).
+
+    Acceptance follows Open3D's evaluate_registration: the refined ICP's
+    FITNESS (fraction of valid src points with a correspondence within
+    max_corr) and rmse — not the raw RANSAC consensus alone.  FPFH is
+    near-degenerate on repetitive geometry (a forest of near-identical
+    trunks gives every surface point the same descriptor), so the
+    reference chain's RANSAC also passes largely-arbitrary correspondence
+    sets there and lets the ICP verdict decide."""
     R0, t0, n_inl, ok = ransac_registration(
         src, src_valid, dst, dst_valid, key, iters=ransac_iters)
     res = icp_point_to_point(src, src_valid, dst, dst_valid,
                              R0=R0, t0=t0, iters=icp_iters,
                              max_corr=max_corr)
+    fitness = res.n_inliers.astype(jnp.float32) / jnp.maximum(
+        src_valid.sum().astype(jnp.float32), 1.0)
+    accept = (ok | (fitness >= fitness_min)) & \
+        (res.rmse < 0.6 * max_corr)
     return RegistrationResult(R=res.R, t=res.t, n_inliers=n_inl,
-                              rmse=res.rmse, ok=ok & (res.rmse < max_corr))
+                              rmse=res.rmse, ok=accept)

