@@ -376,6 +376,17 @@ class PlannerConfig:
     window: int = 192                  # local planning crop (cells, 19.2 m)
     sweeps: int = 2                    # Jacobi rounds (x window iterations)
     use_pallas: bool = True            # VMEM-resident relaxation kernel
+    # two-level planning: a full-map cost-to-goal potential on a coarse
+    # static grid seeds the fine window's BORDER, so the window can route
+    # toward bypasses longer than itself — the reference's NavFn plans on
+    # the whole 1950x900 teach costmap (run_teach.sh:29), and the oracle
+    # census measured 5/45 dispatcher-realistic cases where the optimal
+    # bypass leaves the 19.2 m window (tests/test_planner_oracle.py).
+    # The coarse potential refreshes at the replan cadence; a stale seed
+    # (target just changed) falls back to pure window planning.
+    coarse_seed: bool = True
+    coarse_factor: int = 8             # 0.8 m coarse cells
+    coarse_iters: int = 384            # full-map relaxation sweeps
     lethal_cost: float = 99.0
     cost_weight: float = 1.0           # NavFn-like cost->traversal penalty weight
     path_len: int = 256                # fixed extracted-path length

@@ -255,7 +255,7 @@ def too_close_to_known(xy, known_xy, known_r, known_active,
 def dispatch_plan(state: DispatchState, robot_xy, cost_win, win_r0, win_c0,
                   known_xy, known_r, known_active,
                   map_cfg: MapConfig, cfg: PlannerConfig,
-                  tick=0) -> DispatchState:
+                  tick=0, coarse_phi=None, coarse_goal=None) -> DispatchState:
     """Heavy phase — run at a uniform cadence (costmap update ticks):
     reproject WPs, pick target (WP or detour), run the wavefront planner.
 
@@ -294,7 +294,8 @@ def dispatch_plan(state: DispatchState, robot_xy, cost_win, win_r0, win_c0,
     # unsafe with no detour -> mark skip (consumed by dispatch_move)
     skip = state.skip.at[idx].set(state.skip[idx] | (unsafe & ~detour_ok))
 
-    plan = plan_world(cost_win, win_r0, win_c0, robot_xy, target, map_cfg, cfg)
+    plan = plan_world(cost_win, win_r0, win_c0, robot_xy, target, map_cfg,
+                      cfg, coarse_phi=coarse_phi, coarse_goal=coarse_goal)
     plan_good = plan.ok & (plan.n_path > 1)
 
     # stock: NavFn planning FAILS when every cell within the goal

@@ -59,12 +59,17 @@ def _neighbor_min(phi, tc, diag_scale):
 
 
 def plan_window(cost, start_rc, goal_rc, map_cfg: MapConfig,
-                cfg: PlannerConfig) -> PlanResult:
+                cfg: PlannerConfig, border_phi=None) -> PlanResult:
     """Plan inside a (window, window) cost crop.
 
     start_rc/goal_rc are (row, col) cell coords *within the window* (goal
-    clamped into it by the caller).  Returns the path in window cell space
-    converted to metric offsets by the caller.
+    clamped into it by the caller).  ``border_phi`` (W, W), when given,
+    seeds the relaxation with cost-to-goal values on the window BORDER
+    (BIG elsewhere) — the two-level planner's coarse full-map potential,
+    which lets the window route toward bypasses longer than the window
+    itself (the reference's NavFn plans on the whole teach costmap).
+    Returns the path in window cell space converted to metric offsets by
+    the caller.
     """
     W = cfg.window
     res = map_cfg.resolution
@@ -76,6 +81,8 @@ def plan_window(cost, start_rc, goal_rc, map_cfg: MapConfig,
 
     gr, gc = goal_rc
     phi0 = jnp.full((W, W), BIG).at[gr, gc].set(0.0)
+    if border_phi is not None:
+        phi0 = jnp.minimum(phi0, border_phi)
 
     n_iter = cfg.sweeps * W  # each Jacobi sweep propagates one ring
 
@@ -130,10 +137,70 @@ def plan_window(cost, start_rc, goal_rc, map_cfg: MapConfig,
     return PlanResult(path_xy=path_rc, n_path=n_path, ok=ok, potential=phi)
 
 
+def coarse_traversal(teach_grid, map_cfg: MapConfig, cfg: PlannerConfig):
+    """Static full-map traversal-cost field at ``coarse_factor`` x coarser
+    resolution (two-level planning, level 1).  Occupied coarse cells are
+    lethal; a one-cell dilation stands in for the inflation layer."""
+    f = cfg.coarse_factor
+    occ = teach_grid == 2
+    rows, cols = occ.shape
+    Rp = -(-rows // f) * f
+    Cp = -(-cols // f) * f
+    occ = jnp.pad(occ, ((0, Rp - rows), (0, Cp - cols)))
+    occ8 = occ.reshape(Rp // f, f, Cp // f, f).any(axis=(1, 3))
+    near = occ8
+    for dr, dc in ((1, 0), (-1, 0), (0, 1), (0, -1)):
+        near = near | jnp.roll(occ8, (dr, dc), (0, 1))
+    cost = jnp.where(occ8, 100.0, jnp.where(near, 50.0, 0.0))
+    tc = (f * map_cfg.resolution) * (1.0 + cfg.cost_weight * cost)
+    return jnp.where(occ8, BIG, tc).astype(jnp.float32)
+
+
+def coarse_potential(tc_coarse, goal_xy, map_cfg: MapConfig,
+                     cfg: PlannerConfig):
+    """Full-map cost-to-goal potential on the coarse grid (level-1 plan)."""
+    Rc, Cc = tc_coarse.shape
+    f = cfg.coarse_factor
+    res_c = f * map_cfg.resolution
+    gc = jnp.clip((goal_xy[0] - map_cfg.origin_x) / res_c,
+                  0, Cc - 1).astype(jnp.int32)
+    gr = jnp.clip((goal_xy[1] - map_cfg.origin_y) / res_c,
+                  0, Rc - 1).astype(jnp.int32)
+    phi0 = jnp.full((Rc, Cc), BIG).at[gr, gc].set(0.0)
+
+    def body(_, phi):
+        return jnp.minimum(phi, _neighbor_min(phi, tc_coarse, 1.4142135))
+
+    return jax.lax.fori_loop(0, cfg.coarse_iters, body, phi0)
+
+
+def _border_seed(coarse_phi, win_r0, win_c0, map_cfg: MapConfig,
+                 cfg: PlannerConfig):
+    """(W, W) seed: coarse cost-to-goal sampled on the window border ring,
+    BIG elsewhere."""
+    W = cfg.window
+    f = cfg.coarse_factor
+    Rc, Cc = coarse_phi.shape
+    rows = jnp.arange(W)
+    rr = ((rows + win_r0) // f).clip(0, Rc - 1)
+    cc = ((rows + win_c0) // f).clip(0, Cc - 1)
+    vals = coarse_phi[rr[:, None], cc[None, :]]          # (W, W)
+    border = (jnp.arange(W)[:, None] % (W - 1) == 0) | \
+        (jnp.arange(W)[None, :] % (W - 1) == 0)
+    return jnp.where(border, vals, BIG)
+
+
 def plan_world(cost_window, win_r0, win_c0, start_xy, goal_xy,
-               map_cfg: MapConfig, cfg: PlannerConfig) -> PlanResult:
+               map_cfg: MapConfig, cfg: PlannerConfig,
+               coarse_phi=None, coarse_goal=None) -> PlanResult:
     """Wrapper taking world coords; clamps the goal into the window (like
-    Nav2 planning to the costmap edge toward an out-of-window goal)."""
+    Nav2 planning to the costmap edge toward an out-of-window goal).
+
+    ``coarse_phi``/``coarse_goal``: level-1 full-map potential + the goal
+    it was computed for.  The border seed is applied only while the
+    current goal matches the potential's goal (within 2 m) — a stale
+    potential (target just changed) falls back to pure window planning.
+    """
     W = cfg.window
     res = map_cfg.resolution
 
@@ -145,7 +212,13 @@ def plan_world(cost_window, win_r0, win_c0, start_xy, goal_xy,
 
     start_rc = to_win(start_xy)
     goal_rc = to_win(goal_xy)
-    res_plan = plan_window(cost_window, start_rc, goal_rc, map_cfg, cfg)
+    border_phi = None
+    if coarse_phi is not None:
+        seed = _border_seed(coarse_phi, win_r0, win_c0, map_cfg, cfg)
+        fresh = jnp.linalg.norm(goal_xy - coarse_goal) < 2.0
+        border_phi = jnp.where(fresh, seed, BIG)
+    res_plan = plan_window(cost_window, start_rc, goal_rc, map_cfg, cfg,
+                           border_phi=border_phi)
 
     # window cells -> world coords
     wx = map_cfg.origin_x + (res_plan.path_xy[:, 1] + win_c0 + 0.5) * res

@@ -78,6 +78,8 @@ class RepeatCarry(NamedTuple):
     cost_win: jax.Array     # cached inflated costmap window
     win_r0: jax.Array
     win_c0: jax.Array
+    coarse_phi: jax.Array   # level-1 full-map cost-to-goal potential
+    coarse_goal: jax.Array  # (2,) the goal coarse_phi was computed for
     cmd: jax.Array          # (2,) v, w applied next tick
     key: jax.Array
 
@@ -255,12 +257,37 @@ def repeat_step(carry: RepeatCarry, tick, scene: PackedScene,
         lambda g: (g, carry.cost_win, carry.win_r0, carry.win_c0),
         carry.grid_live)
 
+    # level-1 plan: full-map coarse potential toward the current target,
+    # refreshed at the replan cadence (uniform predicate — a real cond
+    # under vmap); it seeds the fine window's border so bypasses longer
+    # than the window route correctly (the reference's full-map NavFn)
+    if cfg.planner.coarse_seed:
+        from nclt_slam_tpu.planning.wavefront import coarse_potential, coarse_traversal
+
+        # static per rollout: XLA hoists it out of the scan (teach_grid is
+        # a loop invariant), so the cond branch only pays the relaxation
+        tc_coarse = coarse_traversal(teach_grid, cfg.map, cfg.planner)
+
+        def update_coarse(_):
+            return (coarse_potential(tc_coarse, carry.dispatch.target,
+                                     cfg.map, cfg.planner),
+                    carry.dispatch.target)
+
+        coarse_phi, coarse_goal = jax.lax.cond(
+            tick % cfg.planner.replan_period == 1, update_coarse,
+            lambda _: (carry.coarse_phi, carry.coarse_goal), None)
+    else:
+        coarse_phi, coarse_goal = carry.coarse_phi, carry.coarse_goal
+
     dispatch = jax.lax.cond(
         tick % cfg.map.update_period == 0,
         lambda d: dispatch_plan(d, nav_xy, cost_win, win_r0, win_c0,
                                 scene.xy, scene.radius,
                                 scene.drop_mask & valid_now,
-                                cfg.map, cfg.planner, tick),
+                                cfg.map, cfg.planner, tick,
+                                coarse_phi=coarse_phi if
+                                cfg.planner.coarse_seed else None,
+                                coarse_goal=coarse_goal),
         lambda d: d, carry.dispatch)
 
     # --- dispatcher cheap phase ---
@@ -311,6 +338,7 @@ def repeat_step(carry: RepeatCarry, tick, scene: PackedScene,
         imu=imu, vio=vio, fusion=fusion,
         grid_live=grid_live, cost_win=cost_win,
         win_r0=win_r0, win_c0=win_c0,
+        coarse_phi=coarse_phi, coarse_goal=coarse_goal,
         cmd=jnp.stack([v, w]), key=key)
     return new_carry, trace
 
@@ -319,6 +347,9 @@ def init_repeat_carry(route: PackedRoute, wps, n_wps, cfg: Config,
                       seed: int = 1) -> RepeatCarry:
     robot = init_robot(route.spawn[0], route.spawn[1], route.spawn_yaw)
     W = cfg.planner.window
+    f = cfg.planner.coarse_factor
+    Rc = -(-cfg.map.rows // f)
+    Cc = -(-cfg.map.cols // f)
     key = jax.random.PRNGKey(seed)
     k_imu, key = jax.random.split(key)
     return RepeatCarry(
@@ -333,6 +364,8 @@ def init_repeat_carry(route: PackedRoute, wps, n_wps, cfg: Config,
         cost_win=jnp.zeros((W, W), jnp.float32),
         win_r0=jnp.int32(0),
         win_c0=jnp.int32(0),
+        coarse_phi=jnp.full((Rc, Cc), 1e9, jnp.float32),
+        coarse_goal=jnp.full(2, 1e9, jnp.float32),
         cmd=jnp.zeros(2),
         key=key,
     )
