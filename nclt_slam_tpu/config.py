@@ -567,6 +567,15 @@ class VioConfig:
     # tests/test_ba.py) and this flag turns the in-rollout write-back on
     # for ablation studies.
     enable_local_ba: bool = False
+    # inertial prior in the motion-only GN: ORB-SLAM3's VI tracking
+    # optimizes reprojection PLUS an inertial residual binding the pose to
+    # the preintegrated prediction (Optimizer::PoseInertialOptimization*).
+    # Without it our per-frame pose floats on whatever features survive,
+    # so drift varies wildly with feature density (teach means 0.12-2.11 m
+    # across routes vs the reference's tight 0.34-0.65 band).  Stds are
+    # the trust in a 0.1 s preintegration window; applied only with IMU.
+    inertial_prior_pos_std: float = 0.05   # m per frame gap
+    inertial_prior_rot_std: float = 0.01   # rad per frame gap
     # motion-model plausibility gate: reject a frame's optimized pose when it
     # jumps further than this from the inertial/constant-velocity prediction
     # (ORB-SLAM3 discards such frames as tracking failures rather than

@@ -126,11 +126,14 @@ def _project(p_cam, cam: CameraConfig):
 
 
 def _pose_gn(pos0, q0, X_w, uv_obs, z_obs, w_pt, cam: CameraConfig,
-             cfg: VioConfig):
+             cfg: VioConfig, prior_pos=None, prior_q=None,
+             w_prior_pos: float = 0.0, w_prior_rot: float = 0.0):
     """Motion-only GN: optimize 6-dof body pose against matched map points.
 
     X_w (M, 3) map points, uv_obs (M, 2), z_obs (M,) camera-frame depth,
-    w_pt (M,) weights (0 for unmatched)."""
+    w_pt (M,) weights (0 for unmatched).  ``prior_*``/``w_prior_*`` add
+    the inertial prior factor (pose pulled toward the preintegrated
+    prediction — ORB-SLAM3's PoseInertialOptimization residual)."""
 
     def residuals(delta, pos, q):
         dq = so3_exp(delta[:3])
@@ -164,6 +167,15 @@ def _pose_gn(pos0, q0, X_w, uv_obs, z_obs, w_pt, cam: CameraConfig,
         Jw = J * w[..., None]
         H = jnp.einsum("mri,mrj->ij", Jw, J) + cfg.lm_damping * jnp.eye(6)
         g = jnp.einsum("mri,mr->i", Jw, r)
+        if prior_pos is not None:
+            # inertial prior: quadratic pull toward the predicted pose
+            # (rotation block approximated with an identity Jacobian —
+            # exact to first order in the small inter-frame rotation)
+            r_rot_p = so3_log(quat_mul(quat_conj(prior_q), q))
+            diag = jnp.concatenate([jnp.full(3, w_prior_rot),
+                                    jnp.full(3, w_prior_pos)])
+            H = H + jnp.diag(diag)
+            g = g + diag * jnp.concatenate([r_rot_p, pos - prior_pos])
         delta = -jnp.linalg.solve(H, g)
         # trust region + NaN guard: a degenerate window must not poison the
         # state (maps to tracking-lost, the reference's crashed-SLAM case)
@@ -222,8 +234,15 @@ def vio_frame(state: VioState, obs: Observation, imu_block_meas, dt_frame,
     w_pt = matched.astype(jnp.float32)
 
     # ---- motion-only GN (only meaningful with enough matches) ----
+    # inertial prior only when the prediction IS inertial (VI mode);
+    # pure-visual tracking (rgbd ablation) has no such factor
+    w_pp = 1.0 / cfg.inertial_prior_pos_std ** 2 if use_imu else 0.0
+    w_pr = 1.0 / cfg.inertial_prior_rot_std ** 2 if use_imu else 0.0
     pos_opt, q_opt = _pose_gn(pos_pred, q_pred, X, obs.uv, obs.p3d_cam[:, 2],
-                              w_pt, cam, cfg)
+                              w_pt, cam, cfg,
+                              prior_pos=pos_pred if use_imu else None,
+                              prior_q=q_pred,
+                              w_prior_pos=w_pp, w_prior_rot=w_pr)
     finite = jnp.isfinite(pos_opt).all() & jnp.isfinite(q_opt).all()
     # motion-model plausibility: a pose that jumps far from the prediction
     # in one frame is a tracking failure, not a measurement (ORB-SLAM3

@@ -119,12 +119,21 @@ def run(route_names, mode: str, teach_ticks: int, repeat_ticks: int,
     cfg = {"ours": config.ours, "rgbd": rgbd_no_imu,
            "stock": stock_nav2, "encoder": config.encoder_only}[mode]()
 
+    def prog(tag):
+        def f(done_ticks, total, n_done):
+            print(f"[calibrate] {tag} {done_ticks}/{total} ticks, "
+                  f"{n_done} routes done", flush=True)
+        return f
+
     data = build_campaign(route_names, cfg=cfg)
+    print("[calibrate] campaign built", flush=True)
     teach_cfg = cfg  # teach always runs the full VIO for drift recording
-    teach = run_campaign_teach(data, teach_cfg, n_ticks=teach_ticks)
+    teach = run_campaign_teach(data, teach_cfg, n_ticks=teach_ticks,
+                               progress=prog("teach"))
     wps, n_wps = teach_waypoints(data, teach, teach_cfg)
     rep = run_campaign_repeat(data, teach.teach_grid, wps, n_wps, cfg,
-                              n_ticks=repeat_ticks, stores=teach.store)
+                              n_ticks=repeat_ticks, stores=teach.store,
+                              progress=prog("repeat"))
     per_route, agg = campaign_metrics(data, rep, wps, n_wps, cfg)
 
     # --- teach drift (drift-monitor equivalent: aligned VIO vs GT) ---
