@@ -352,8 +352,9 @@ def _bench_ba(batch: int = 64, iters: int = 8, K: int | None = None,
     probs = jax.tree_util.tree_map(
         lambda *xs: jnp.stack(xs), *[mk(s) for s in range(batch)])
     if impl == "pallas":
+        interp = jax.default_backend() != "tpu"
         f = jax.jit(lambda p: solve_ba_pallas(p, cfg.camera, cfg.vio,
-                                              iters=iters))
+                                              iters=iters, interpret=interp))
     else:
         f = jax.jit(jax.vmap(lambda p: solve_ba(
             p, cfg.camera, cfg.vio, iters=iters)))

@@ -384,7 +384,12 @@ class PlannerConfig:
     # bypass leaves the 19.2 m window (tests/test_planner_oracle.py).
     # The coarse potential refreshes at the replan cadence; a stale seed
     # (target just changed) falls back to pure window planning.
-    coarse_seed: bool = True
+    # Default OFF after a full-campaign measurement: an always-available
+    # coarse route suppressed the dispatcher's skip machinery and sent
+    # robots on long map-scale detours (coverage 73 -> 53 %, return 8 ->
+    # 4/15); the capability remains for window-blocked escapes and the
+    # oracle census (tests/test_planner_oracle.py) pins the residual gap.
+    coarse_seed: bool = False
     coarse_factor: int = 8             # 0.8 m coarse cells
     coarse_iters: int = 384            # full-map relaxation sweeps
     lethal_cost: float = 99.0
@@ -574,6 +579,14 @@ class VioConfig:
     # so drift varies wildly with feature density (teach means 0.12-2.11 m
     # across routes vs the reference's tight 0.34-0.65 band).  Stds are
     # the trust in a 0.1 s preintegration window; applied only with IMU.
+    # Default OFF on a full-campaign measurement: the synthetic IMU's
+    # accel comes from double-differenced GT positions, so collision and
+    # wedge events carry contact-spike accelerations; the prior DRAGS the
+    # pose along those wild predictions exactly when features are scarce
+    # (campaign drift 7.0 -> 8.8, route 05 coverage 81 % -> 12 %).  The
+    # plausibility gate + freeze behavior already bound feature-poor
+    # frames the way ORB-SLAM3's tracking-lost path does.
+    use_inertial_prior: bool = False
     inertial_prior_pos_std: float = 0.05   # m per frame gap
     inertial_prior_rot_std: float = 0.01   # rad per frame gap
     # motion-model plausibility gate: reject a frame's optimized pose when it

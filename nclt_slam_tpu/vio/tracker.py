@@ -236,11 +236,12 @@ def vio_frame(state: VioState, obs: Observation, imu_block_meas, dt_frame,
     # ---- motion-only GN (only meaningful with enough matches) ----
     # inertial prior only when the prediction IS inertial (VI mode);
     # pure-visual tracking (rgbd ablation) has no such factor
-    w_pp = 1.0 / cfg.inertial_prior_pos_std ** 2 if use_imu else 0.0
-    w_pr = 1.0 / cfg.inertial_prior_rot_std ** 2 if use_imu else 0.0
+    use_prior = use_imu and cfg.use_inertial_prior
+    w_pp = 1.0 / cfg.inertial_prior_pos_std ** 2 if use_prior else 0.0
+    w_pr = 1.0 / cfg.inertial_prior_rot_std ** 2 if use_prior else 0.0
     pos_opt, q_opt = _pose_gn(pos_pred, q_pred, X, obs.uv, obs.p3d_cam[:, 2],
                               w_pt, cam, cfg,
-                              prior_pos=pos_pred if use_imu else None,
+                              prior_pos=pos_pred if use_prior else None,
                               prior_q=q_pred,
                               w_prior_pos=w_pp, w_prior_rot=w_pr)
     finite = jnp.isfinite(pos_opt).all() & jnp.isfinite(q_opt).all()
