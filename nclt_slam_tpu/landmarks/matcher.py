@@ -224,6 +224,20 @@ def match_tick(store: LandmarkStore, obs: Observation, vio_xy, vio_heading,
     by = cam_world[1] - cam.cam_offset_fwd * jnp.sin(vio_heading)
     anchor_xy = jnp.stack([bx, by])
 
+    # aliased-correspondence bias on the composed anchor (see
+    # LandmarkConfig.anchor_bias_*): lognormal magnitude matched to the
+    # reference CSV's publish-shift spread, uniform direction.  Applied
+    # before the consistency gate so the distribution's >5 m tail produces
+    # the CSV's consistency_fail rate naturally.
+    if cfg.anchor_bias_median_m > 0.0:
+        k_mag, k_dir = jax.random.split(jax.random.fold_in(key, 7))
+        sigma_ln = jnp.log(cfg.anchor_bias_p90_m / cfg.anchor_bias_median_m) \
+            / 1.281552  # Phi^-1(0.90)
+        mag = jnp.exp(jnp.log(cfg.anchor_bias_median_m) +
+                      sigma_ln * jax.random.normal(k_mag))
+        th = jax.random.uniform(k_dir, minval=0.0, maxval=2.0 * jnp.pi)
+        anchor_xy = anchor_xy + mag * jnp.stack([jnp.cos(th), jnp.sin(th)])
+
     # consistency gate vs VIO (5 m base, drought-widened by the caller)
     cons_d = jnp.linalg.norm(anchor_xy - vio_xy)
     consistent = cons_d <= cfg.consistency_m + consistency_extra_m

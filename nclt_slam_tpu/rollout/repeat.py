@@ -188,8 +188,19 @@ def repeat_step(carry: RepeatCarry, tick, scene: PackedScene,
         # --- visual anchor matcher at 2 Hz ---
         fusion = carry.fusion
         if mode.use_anchors:
-            vio_nav = fusion.pub_nav  # relay-published pose, like the
-            #                            matcher reading /tmp/isaac_pose.txt
+            # The reference matcher reads /tmp/isaac_pose.txt for its query
+            # pose (visual_landmark_matcher.py:266-272) — and that file is
+            # written by the SIM as ground truth (run_husky_forest.py:1081:
+            # "Write GT pose for tf_wall_clock_relay").  Candidate gating,
+            # the heading gate, and the 5 m consistency gate therefore all
+            # run on GT in the reference — which is also the physically
+            # right proxy for "which teach landmarks can the camera see":
+            # visibility is set by the TRUE camera pose, not the drifted
+            # estimate.  Structurally this means the reference's anchor
+            # pipeline can never starve under drift (no drift → gate-miss
+            # → more-drift feedback loop); gating on the fused estimate
+            # instead produced exactly that spiral on high-drift routes.
+            vio_nav = jnp.array([robot.xy[0], robot.xy[1], gt_yaw])
 
             def try_anchor(f):
                 # drought-scaled consistency relaxation (see LandmarkConfig)

@@ -398,7 +398,8 @@ def vio_frame(state: VioState, obs: Observation, imu_block_meas, dt_frame,
         enough, jnp.linalg.norm(pos_new - state.pos), 0.0)
     if key is not None and cfg.snap_p_stressed > 0.0:
         k_ev, k_scale, k_off = jax.random.split(key, 3)
-        armed = stress_streak >= cfg.snap_stress_min
+        armed = (stress_streak >= cfg.snap_stress_min) & \
+            (dist_since >= cfg.snap_min_dist_m)
         fire = (armed & (jax.random.uniform(k_ev) < cfg.snap_p_stressed)) \
             | reloc
         snap_std = jnp.minimum(cfg.snap_frac * dist_since, cfg.snap_cap_m)

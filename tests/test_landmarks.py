@@ -1,5 +1,7 @@
 """Landmark recorder + anchor matcher behavior tests."""
 
+import dataclasses
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -109,8 +111,12 @@ def test_matcher_anchors_near_teach_pose(forest_strip):
         store = rec(store, obs, cam_p, jnp.float32(0.0))
     assert int(store.count) >= 8
 
+    # zero the aliased-anchor bias: this test checks the GEOMETRIC solver
+    # (the bias model's distribution is pinned by
+    # test_anchor_bias_distribution below)
+    lcfg = dataclasses.replace(CFG.landmarks, anchor_bias_median_m=0.0)
     match = jax.jit(lambda s, o, v, h, p, k: match_tick(
-        s, o, v, h, p, k, CFG.camera, CFG.landmarks))
+        s, o, v, h, p, k, CFG.camera, lcfg))
 
     # robot actually at (20.4, 0.3); VIO believes (22.0, 1.0) — the anchor
     # should recover a pose near the TRUE one
@@ -122,6 +128,20 @@ def test_matcher_anchors_near_teach_pose(forest_strip):
     err = np.hypot(float(res.xy[0]) - true_xy[0], float(res.xy[1]) - true_xy[1])
     assert err < 1.0, f"anchor err {err:.2f} m at {np.asarray(res.xy)}"
     assert float(res.std) <= 0.2 + 1e-6
+
+
+def test_anchor_bias_distribution():
+    """The aliased-anchor bias model must reproduce the reference CSV's
+    publish-shift spread (median 1.2 m, p90 3.3 m) and, through its own
+    >5 m tail, the ~4 % consistency_fail rate (anchor_matches.csv)."""
+    cfg = DEFAULT.landmarks
+    sigma = np.log(cfg.anchor_bias_p90_m / cfg.anchor_bias_median_m) / 1.281552
+    mags = np.exp(np.log(cfg.anchor_bias_median_m) +
+                  sigma * np.random.default_rng(0).standard_normal(200_000))
+    assert abs(np.median(mags) - 1.2) < 0.05
+    assert abs(np.percentile(mags, 90) - 3.3) < 0.15
+    tail = (mags > cfg.consistency_m).mean()
+    assert 0.02 < tail < 0.06, tail  # CSV: 4.1 %
 
 
 def test_matcher_no_candidates_far_away(forest_strip):
@@ -150,17 +170,19 @@ def test_consistency_gate_drought_relaxation(forest_strip):
                                CFG.camera)
         store = rec(store, obs, cam_p, jnp.float32(0.0))
 
+    # bias off: this test exercises the gate mechanics, not the error model
+    lcfg = dataclasses.replace(CFG.landmarks, anchor_bias_median_m=0.0)
     true_xy = (20.4, 0.3)
     believed = jnp.array([26.5, 2.0])     # ~6.4 m nav error
     obs = obs_at(feats, ov, *true_xy, 0.0, seed=99)
     res = match_tick(store, obs, believed, jnp.float32(0.0),
                      jnp.array([26.5, 2.0, 0.5]), jax.random.PRNGKey(7),
-                     CFG.camera, CFG.landmarks)
+                     CFG.camera, lcfg)
     assert not bool(res.ok) and int(res.reason) == R_CONSISTENCY_FAIL
 
     res2 = match_tick(store, obs, believed, jnp.float32(0.0),
                       jnp.array([26.5, 2.0, 0.5]), jax.random.PRNGKey(7),
-                      CFG.camera, CFG.landmarks, consistency_extra_m=5.0)
+                      CFG.camera, lcfg, consistency_extra_m=5.0)
     assert bool(res2.ok)
     err = np.hypot(float(res2.xy[0]) - true_xy[0],
                    float(res2.xy[1]) - true_xy[1])
