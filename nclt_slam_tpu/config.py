@@ -271,8 +271,30 @@ class LandmarkConfig:
     # applied BEFORE the 5 m consistency gate; the distribution's own
     # >5 m tail (≈3.5 %) then reproduces the CSV's 4.1 % consistency_fail
     # rate with no separate tuning.  Zero disables (unit tests).
-    anchor_bias_median_m: float = 1.2   # CSV publish-shift median
-    anchor_bias_p90_m: float = 3.3      # CSV publish-shift p90
+    # NOTE the CSV's shift is |anchor − relay nav pose| at publish time —
+    # it measures the drift the anchor CORRECTS plus the anchor's own
+    # error, and inter-anchor drift dominates it.  Matching the anchor
+    # bias itself to the full 1.2 m median double-counted: every publish
+    # then injected ≥1.2 m of error into the fused pose, setting a ~3.5 m
+    # drift floor on the road route (ref 1.4) and collapsing reach to
+    # 10/15 (r4 full campaign).  The bias here is only the PnP solution's
+    # aliased-correspondence component (sub-meter); the rest of the CSV
+    # shift comes from real drift between anchors (snap events, encoder
+    # yaw error), which the campaign statistic measures end-to-end.
+    anchor_bias_median_m: float = 0.45
+    anchor_bias_p90_m: float = 1.10
+    # gross-mismatch component: the reference CSV's consistency_fail rate
+    # (4.1 % of attempts = ~10 % of PnP-ACCEPTED solves) implies a heavy
+    # tail of wrong-association anchors — a candidate landmark matched to
+    # a visually-aliased spot meters away composes a pose that passes the
+    # inlier/reproj gates but sits 3-40 m off; the 5 m consistency gate is
+    # what rejects them.  With prob anchor_gross_p the bias magnitude is
+    # log-uniform in [gross_lo, gross_hi]: P(<5 m) ≈ 0.2 of those slip
+    # through the gate (the CSV p90 3.3 m shift tail), the rest reproduce
+    # the consistency_fail rate: 0.12 x 0.8 ≈ 9.6 % of accepted solves.
+    anchor_gross_p: float = 0.12
+    anchor_gross_lo_m: float = 3.0
+    anchor_gross_hi_m: float = 40.0
     # descriptor observation model.  Real forest ORB descriptors are highly
     # aliased — bark looks like bark, leaf litter like leaf litter — which
     # is why the reference's matcher rejects ~45 % of anchor attempts at

@@ -230,11 +230,22 @@ def match_tick(store: LandmarkStore, obs: Observation, vio_xy, vio_heading,
     # before the consistency gate so the distribution's >5 m tail produces
     # the CSV's consistency_fail rate naturally.
     if cfg.anchor_bias_median_m > 0.0:
-        k_mag, k_dir = jax.random.split(jax.random.fold_in(key, 7))
+        k_mag, k_dir, k_g, k_gm = jax.random.split(
+            jax.random.fold_in(key, 7), 4)
         sigma_ln = jnp.log(cfg.anchor_bias_p90_m / cfg.anchor_bias_median_m) \
             / 1.281552  # Phi^-1(0.90)
         mag = jnp.exp(jnp.log(cfg.anchor_bias_median_m) +
                       sigma_ln * jax.random.normal(k_mag))
+        # gross-mismatch tail (LandmarkConfig.anchor_gross_*): a wrong
+        # association that passed the PnP gates — log-uniform magnitude,
+        # mostly killed by the 5 m consistency gate below (the CSV's
+        # consistency_fail rate), occasionally slipping through under 5 m
+        if cfg.anchor_gross_p > 0.0:
+            gross = jax.random.uniform(k_g) < cfg.anchor_gross_p
+            gmag = jnp.exp(jax.random.uniform(
+                k_gm, minval=jnp.log(cfg.anchor_gross_lo_m),
+                maxval=jnp.log(cfg.anchor_gross_hi_m)))
+            mag = jnp.where(gross, gmag, mag)
         th = jax.random.uniform(k_dir, minval=0.0, maxval=2.0 * jnp.pi)
         anchor_xy = anchor_xy + mag * jnp.stack([jnp.cos(th), jnp.sin(th)])
 

@@ -390,7 +390,15 @@ def vio_frame(state: VioState, obs: Observation, imu_block_meas, dt_frame,
     # (reverting toward truth, as VI scale refinement does).
     rot_rate = jnp.linalg.norm(so3_log(
         quat_mul(quat_conj(state.q), q_new))) / jnp.maximum(dt_frame, 1e-3)
-    stressed = (~enough) | (n_match < cfg.snap_stress_match_n) | \
+    # stress is ROTATIONAL only (plus relocalization below, which always
+    # fires): tracking-failure frames (~enough) were originally a trigger
+    # too, but our 256-feature observe() dips below the n_match>=8 bar on
+    # dense-forest teach drives where the reference's 3000-feature ORB does
+    # not — with (~enough) armed, teach drift on routes 05/06 ran 1.2-2.1 m
+    # vs the reference band's 0.48-0.65 (r4 full campaign) while repeat
+    # snaps are already carried by the rotation term (recovery spins at
+    # 0.8-1.0 rad/s).  A genuine tracking collapse still snaps via reloc.
+    stressed = (n_match < cfg.snap_stress_match_n) | \
         (rot_rate > cfg.snap_stress_rot)
     stress_streak = jnp.where(stressed & (~first),
                               state.stress_streak + 1, jnp.int32(0))

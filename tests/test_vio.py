@@ -143,7 +143,10 @@ def test_backend_events_fire_under_stress_only():
 
     vcfg = dataclasses.replace(
         CFG.vio, snap_p_stressed=1.0, snap_stress_min=2,
-        snap_frac=0.5, snap_cap_m=2.0, scale_jump_std=0.02)
+        snap_frac=0.5, snap_cap_m=2.0, scale_jump_std=0.02,
+        # production stress is rotation-only (+ reloc); opt into the
+        # match-starvation term here so featureless frames count as stress
+        snap_stress_match_n=8)
     K = CFG.landmarks.max_obs_features
     W = CFG.landmarks.desc_words
     # featureless frames = maximal tracking stress (n_match == 0)

@@ -197,6 +197,9 @@ SEASONS = [
 def main():
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--scans", type=int, default=2000)
+    ap.add_argument("--laps", type=float, default=2.0,
+                    help="loop laps: ~0.97 km each (5.2 laps ≈ the "
+                         "reference's 7.3-km-class session scale)")
     ap.add_argument("--pts", type=int, default=1024)
     ap.add_argument("--out", default=None)
     ap.add_argument("--platform", default=None)
@@ -211,7 +214,7 @@ def main():
 
     rng = np.random.RandomState(11)
     centers, radii, heights = build_world(rng)
-    traj_xy, traj_yaw = loop_trajectory(args.scans)
+    traj_xy, traj_yaw = loop_trajectory(args.scans, laps=args.laps)
     path_km = np.hypot(*np.diff(traj_xy, axis=0).T).sum() / 1000.0
     print(f"[scale] {args.scans} scans, {path_km:.2f} km path, "
           f"{len(centers)} trunks", flush=True)
