@@ -257,8 +257,10 @@ def _bench_pgo(K: int = 2000, n_loops: int = 48, iters: int = 5):
     t_red = t_of(lambda: jax.block_until_ready(f_red(reduced, red_w)))
     t_pal = t_of(lambda: jax.block_until_ready(
         optimize_pgo_pallas(reduced, red_w, iters=iters)))
-    # production path end-to-end (host reduction + pallas solve + expand)
-    t_fast = t_of(lambda: optimize_pose_graph_fast(graph, iters=iters))
+    # production path end-to-end: the fused single-program default
+    # (on-device reduce -> reduced GN -> expand, loop_closure._pgo_fused)
+    t_fast = t_of(lambda: jax.block_until_ready(
+        optimize_pose_graph_fast(graph, iters=iters)))
     return {
         "K": K, "loops": n_loops, "iters": iters,
         "Kr": int(reduced.poses.shape[0]),

@@ -356,18 +356,23 @@ def expand_reduced(graph: PoseGraph2D, junctions, opt_red) -> np.ndarray:
 def optimize_pose_graph_fast(graph: PoseGraph2D, iters: int = 15,
                              odo_w: float = 1.0, lc_w: float = 10.0,
                              damping: float = 1e-3,
-                             backend: str = "auto") -> np.ndarray:
+                             backend: str = "auto"):
     """Junction-reduced PGO for km-scale sessions.
 
-    backend: "pallas" = fused single-launch GN kernel (default on TPU),
-    "xla" = the dense optimizer on the reduced graph, "auto" picks by
-    platform.  Equivalence with the full dense solve is asserted in
-    tests/test_datasets.py::test_pgo_fast_matches_dense."""
-    import jax as _jax
-
+    backend: "fused" (the default everywhere) = ONE jitted device program
+    doing reduction -> reduced GN solve -> interior expansion, with the
+    junction set padded to its static bound Kr <= 2 + 2L; "xla" = host-side
+    numpy reduction + jitted reduced solve + host expansion; "pallas" = the
+    single-launch Pallas GN kernel on the host-reduced graph (opt-in
+    exhibit: its serial in-core Gauss-Jordan at 3*Kr unknowns loses to the
+    XLA MXU solve by ~70x at Kr~100 — see BENCH_r04 pgo — so it must never
+    be a default).  Equivalence with the full dense solve is asserted in
+    tests/test_pgo.py."""
+    if backend in ("auto", "fused"):
+        return _pgo_fused(graph.poses, graph.odo_meas, graph.loop_i,
+                          graph.loop_j, graph.loop_meas, graph.loop_valid,
+                          jnp.float32(odo_w), iters, lc_w, damping)
     reduced, red_w, junctions = reduce_pose_graph(graph, odo_w)
-    if backend == "auto":
-        backend = "pallas" if _jax.default_backend() == "tpu" else "xla"
     if backend == "pallas":
         from nclt_slam_tpu.ops.pgo_pallas import optimize_pgo_pallas
         opt_red = optimize_pgo_pallas(reduced, red_w, iters=iters,
@@ -375,6 +380,106 @@ def optimize_pose_graph_fast(graph: PoseGraph2D, iters: int = 15,
     else:
         opt_red = _optimize_reduced_jit(reduced, red_w, iters, lc_w, damping)
     return expand_reduced(graph, junctions, opt_red)
+
+
+@functools.partial(jax.jit, static_argnames=("iters", "lc_w", "damping"))
+def _pgo_fused(poses, odo, loop_i, loop_j, loop_meas, loop_valid,
+               odo_w, iters, lc_w, damping):
+    """Single-program junction-reduced PGO: reduce -> solve -> expand.
+
+    The host path (reduce_pose_graph + solve + expand_reduced) pays 3
+    device<->host round trips; on the axon tunnel that overhead alone
+    dwarfs the 25 ms reduced solve.  Everything here is static-shaped:
+    the junction set is padded to Kr = 2 + 2L with copies of K-1, whose
+    zero-length / zero-measurement segments (weight odo_w) pin the padded
+    poses to the final pose — semantics identical to the unpadded host
+    reduction (asserted against it in tests/test_pgo.py)."""
+    K = poses.shape[0]
+
+    # junction set: sorted unique {0, K-1, valid loop endpoints}, padded
+    # with K-1 (duplicates replaced by K-1, then re-sorted to the tail)
+    li = jnp.where(loop_valid, loop_i, K - 1).astype(jnp.int32)
+    lj = jnp.where(loop_valid, loop_j, K - 1).astype(jnp.int32)
+    ends = jnp.sort(jnp.concatenate(
+        [jnp.array([0, K - 1], jnp.int32), li, lj]))
+    dup = jnp.concatenate([jnp.array([False]), ends[1:] == ends[:-1]])
+    junctions = jnp.sort(jnp.where(dup, K - 1, ends))        # (Kr,)
+    Kr = junctions.shape[0]
+
+    # global odometry chain G[k] = T(poses[0]) . m_0 ... m_{k-1}
+    th = jnp.concatenate([poses[0:1, 2], poses[0, 2] + jnp.cumsum(odo[:, 2])])
+    c, s = jnp.cos(th[:-1]), jnp.sin(th[:-1])
+    steps = jnp.stack([c * odo[:, 0] - s * odo[:, 1],
+                       s * odo[:, 0] + c * odo[:, 1]], -1)
+    Gxy = jnp.concatenate([poses[0:1, :2],
+                           poses[0, :2] + jnp.cumsum(steps, axis=0)])
+    G = jnp.column_stack([Gxy, th])
+
+    # composed segment measurements between consecutive junctions
+    a, b = junctions[:-1], junctions[1:]
+    dth_seg = G[b, 2] - G[a, 2]
+    ca, sa = jnp.cos(G[a, 2]), jnp.sin(G[a, 2])
+    dxy = G[b, :2] - G[a, :2]
+    red_odo = jnp.stack([ca * dxy[:, 0] + sa * dxy[:, 1],
+                         -sa * dxy[:, 0] + ca * dxy[:, 1], dth_seg], -1)
+    red_w = odo_w / jnp.maximum(b - a, 1).astype(jnp.float32)
+
+    red_li = jnp.clip(jnp.searchsorted(junctions, li), 0, Kr - 1)
+    red_lj = jnp.clip(jnp.searchsorted(junctions, lj), 0, Kr - 1)
+    reduced = PoseGraph2D(poses=poses[junctions], odo_meas=red_odo,
+                          loop_i=red_li, loop_j=red_lj,
+                          loop_meas=loop_meas, loop_valid=loop_valid)
+    opt_red = optimize_pose_graph(reduced, iters=iters, odo_w=red_w,
+                                  lc_w=lc_w, damping=damping)
+
+    # interior expansion: rigid-place each segment's raw chain at the
+    # optimized start pose, distribute the endpoint discrepancy by
+    # cumulative arc length (exact at both endpoints)
+    seg = jnp.clip(jnp.searchsorted(junctions, jnp.arange(K), side="right")
+                   - 1, 0, Kr - 2)
+    ja, jb = junctions[seg], junctions[seg + 1]
+    pa, pb = opt_red[seg], opt_red[seg + 1]
+
+    tha = G[ja, 2]
+    ca, sa = jnp.cos(tha), jnp.sin(tha)
+    rx, ry = G[:, 0] - G[ja, 0], G[:, 1] - G[ja, 1]
+    rel = jnp.stack([ca * rx + sa * ry, -sa * rx + ca * ry], -1)
+    th_rel = G[:, 2] - tha
+    cp, sp = jnp.cos(pa[:, 2]), jnp.sin(pa[:, 2])
+    chain_xy = pa[:, :2] + jnp.stack(
+        [cp * rel[:, 0] - sp * rel[:, 1],
+         sp * rel[:, 0] + cp * rel[:, 1]], -1)
+    chain_th = pa[:, 2] + th_rel
+
+    relb = jnp.stack(
+        [ca * (G[jb, 0] - G[ja, 0]) + sa * (G[jb, 1] - G[ja, 1]),
+         -sa * (G[jb, 0] - G[ja, 0]) + ca * (G[jb, 1] - G[ja, 1])], -1)
+    chain_xy_b = pa[:, :2] + jnp.stack(
+        [cp * relb[:, 0] - sp * relb[:, 1],
+         sp * relb[:, 0] + cp * relb[:, 1]], -1)
+    chain_th_b = pa[:, 2] + (G[jb, 2] - tha)
+    dth = jnp.arctan2(jnp.sin(pb[:, 2] - chain_th_b),
+                      jnp.cos(pb[:, 2] - chain_th_b))
+
+    steps_len = jnp.concatenate([jnp.zeros(1),
+                                 jnp.hypot(odo[:, 0], odo[:, 1])])
+    cum = jnp.cumsum(steps_len)
+    f = (cum - cum[ja]) / jnp.maximum(cum[jb] - cum[ja], 1e-9)
+
+    cf, sf = jnp.cos(f * dth), jnp.sin(f * dth)
+    relp = chain_xy - pa[:, :2]
+    rot = jnp.stack([cf * relp[:, 0] - sf * relp[:, 1],
+                     sf * relp[:, 0] + cf * relp[:, 1]], -1)
+    cfb, sfb = jnp.cos(dth), jnp.sin(dth)
+    relb_p = chain_xy_b - pa[:, :2]
+    end_rot = jnp.stack([cfb * relb_p[:, 0] - sfb * relb_p[:, 1],
+                         sfb * relb_p[:, 0] + cfb * relb_p[:, 1]], -1)
+    t_corr = pb[:, :2] - (pa[:, :2] + end_rot)
+
+    out_xy = pa[:, :2] + rot + f[:, None] * t_corr
+    out_th = chain_th + f * dth
+    out = jnp.column_stack([out_xy, out_th])
+    return out.at[junctions].set(opt_red)
 
 
 @functools.partial(jax.jit, static_argnames=("iters", "lc_w", "damping"))

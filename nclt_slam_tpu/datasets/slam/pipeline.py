@@ -199,7 +199,7 @@ def run_slam(scans, scan_valid, odom_pred=None, gps_xy=None,
         loop_meas=jnp.asarray(loop_meas),
         loop_valid=jnp.asarray(found))
     if T_n >= 400:
-        # km-scale: junction-reduced PGO through the fused Pallas solver
+        # km-scale: junction-reduced PGO as one fused device program
         # (the dense jacfwd path materializes a ~(6K, 3K) Jacobian per GN
         # iteration — 145 MB at 2000 poses)
         from nclt_slam_tpu.datasets.slam.loop_closure import (

@@ -84,6 +84,36 @@ def test_pgo_fast_matches_dense():
     assert d.max() < 0.6, d.max()
 
 
+def test_pgo_fused_matches_host_path():
+    """The single-program fused default (reduce+solve+expand on device,
+    junctions padded to the static 2+2L bound) must agree with the host
+    numpy-reduction path — including with invalid loop slots (the
+    padded-junction code path).  Exact bit equality is not expected: the
+    padded copies of the final pose add damped DOFs coupled to it, so the
+    two damped-GN trajectories differ transiently (~cm at iters=15,
+    vanishing with convergence)."""
+    graph, gt = _two_lap_graph()          # 4 valid + 2 invalid loop slots
+    host = np.asarray(optimize_pose_graph_fast(graph, iters=15,
+                                               backend="xla"))
+    fused = np.asarray(optimize_pose_graph_fast(graph, iters=15,
+                                                backend="fused"))
+    assert np.abs(host - fused).max() < 0.1, np.abs(host - fused).max()
+    # and the fused path closes the loop as well as the dense oracle
+    dense = optimize_pose_graph(graph, iters=15)
+    _, _, junctions = reduce_pose_graph(graph, 1.0)
+    d = np.linalg.norm(np.asarray(dense)[junctions, :2]
+                       - fused[junctions, :2], axis=1)
+    assert d.max() < 0.6, d.max()
+
+
+def test_pgo_fused_no_valid_loops():
+    graph, _ = _two_lap_graph()
+    graph = graph._replace(loop_valid=jnp.zeros_like(graph.loop_valid))
+    fused = np.asarray(optimize_pose_graph_fast(graph, iters=5))
+    d = np.linalg.norm(fused[:, :2] - np.asarray(graph.poses)[:, :2], axis=1)
+    assert d.max() < 0.05, d.max()
+
+
 def test_pgo_pallas_matches_xla_on_reduced():
     graph, _ = _two_lap_graph()
     reduced, red_w, _ = reduce_pose_graph(graph, 1.0)
