@@ -260,29 +260,39 @@ class LandmarkConfig:
     inlier_hi: int = 25
     inlier_lo: int = 15
     # --- published-anchor error model (aliased-correspondence bias) ---
-    # The reference's anchor_matches.csv logs |anchor − isaac_pose| for
-    # every published anchor: median 1.2 m, p90 3.3 m — an order of
-    # magnitude above clean PnP noise.  In a self-similar forest the
-    # RANSAC consensus set itself is biased: descriptor-aliased pairs
-    # (bark↔bark, litter↔litter meters apart) reproject inside the 3 px
-    # tolerance and drag the solution, so the PUBLISHED pose — not just
-    # the rejected attempts — carries a meter-scale error.  Model it as a
-    # lognormal-magnitude, uniform-direction bias on the composed anchor,
-    # applied BEFORE the 5 m consistency gate; the distribution's own
-    # >5 m tail (≈3.5 %) then reproduces the CSV's 4.1 % consistency_fail
-    # rate with no separate tuning.  Zero disables (unit tests).
-    # NOTE the CSV's shift is |anchor − relay nav pose| at publish time —
-    # it measures the drift the anchor CORRECTS plus the anchor's own
-    # error, and inter-anchor drift dominates it.  Matching the anchor
-    # bias itself to the full 1.2 m median double-counted: every publish
-    # then injected ≥1.2 m of error into the fused pose, setting a ~3.5 m
-    # drift floor on the road route (ref 1.4) and collapsing reach to
-    # 10/15 (r4 full campaign).  The bias here is only the PnP solution's
-    # aliased-correspondence component (sub-meter); the rest of the CSV
-    # shift comes from real drift between anchors (snap events, encoder
-    # yaw error), which the campaign statistic measures end-to-end.
-    anchor_bias_median_m: float = 0.45
-    anchor_bias_p90_m: float = 1.10
+    # The reference's anchor_matches.csv logs |anchor − query| for every
+    # published anchor: median 1.2 m, p90 3.3 m — an order of magnitude
+    # above clean PnP noise.  The query pose is /tmp/isaac_pose.txt, which
+    # the sim writes as GROUND TRUTH (run_husky_forest.py:1078-1080 "Write
+    # GT pose ..."; the matcher reads it in _read_pose,
+    # visual_landmark_matcher.py:266-272) — so the CSV's shift IS the
+    # anchor's own error vs GT, with no drift component.  The repo matcher
+    # queries with GT the same way (rollout/repeat.py), so the injected
+    # bias magnitude must carry the FULL CSV spread: median 1.2 / p90 3.3.
+    # Mechanism: in a self-similar forest the RANSAC consensus set itself
+    # is biased — descriptor-aliased pairs (bark↔bark, litter↔litter
+    # meters apart) reproject inside the 3 px tolerance and drag the
+    # solution — so the PUBLISHED pose carries a meter-scale error.
+    # TEMPORAL STRUCTURE: the same teach landmarks matched against the
+    # same live geometry repeat the same aliased consensus, so the error
+    # is persistent per landmark and slowly-varying along the route, NOT
+    # i.i.d. per publish.  (An i.i.d. draw at this magnitude jerks the
+    # fused pose at 2 Hz, set a ~3.5 m drift floor on the road route and
+    # collapsed reach to 10/15 in the r4 campaign — the failure that
+    # motivated r4's since-reverted magnitude cut to 0.45/1.10.)  Modeled
+    # as a smooth world-position field (sensors/features._bias_field)
+    # evaluated at the matched TEACH landmark's position: direction from
+    # two phase-shifted fields, lognormal magnitude whose spread combines
+    # the field (spatially-correlated, scale anchor_bias_scale_m) with a
+    # small per-attempt jitter (anchor_bias_jitter_ln).  Applied BEFORE
+    # the 5 m consistency gate; together with the gross tail below the
+    # >5 m mass reproduces the CSV's 4.1 % consistency_fail rate.
+    # Zero disables (unit tests).
+    anchor_bias_median_m: float = 1.2
+    anchor_bias_p90_m: float = 3.3
+    anchor_bias_scale_m: float = 35.0  # spatial correlation length
+    anchor_bias_jitter_ln: float = 0.25  # per-attempt lognormal jitter
+    anchor_bias_dir_jitter: float = 0.20  # per-attempt direction jitter [rad]
     # gross-mismatch component: the reference CSV's consistency_fail rate
     # (4.1 % of attempts = ~10 % of PnP-ACCEPTED solves) implies a heavy
     # tail of wrong-association anchors — a candidate landmark matched to
@@ -424,12 +434,20 @@ class PlannerConfig:
     # bypass leaves the 19.2 m window (tests/test_planner_oracle.py).
     # The coarse potential refreshes at the replan cadence; a stale seed
     # (target just changed) falls back to pure window planning.
-    # Default OFF after a full-campaign measurement: an always-available
-    # coarse route suppressed the dispatcher's skip machinery and sent
-    # robots on long map-scale detours (coverage 73 -> 53 %, return 8 ->
-    # 4/15); the capability remains for window-blocked escapes and the
-    # oracle census (tests/test_planner_oracle.py) pins the residual gap.
-    coarse_seed: bool = False
+    # Engagement is an ESCAPE HATCH (dispatcher gates the seed on
+    # coarse_escape_fails consecutive window-plan failures): an
+    # always-available coarse route suppressed the dispatcher's skip
+    # machinery and sent robots on long map-scale detours (coverage
+    # 73 -> 53 %, return 8 -> 4/15, r4 measurement) — while a window that
+    # keeps failing means the bypass leaves the window, exactly the case
+    # where the reference's NavFn (full 1950x900 teach costmap,
+    # run_teach.sh:29) routes and ours used to give up.  The oracle census
+    # (tests/test_planner_oracle.py) prices the seeded planner 45/45.
+    coarse_seed: bool = True
+    # consecutive window-plan failures (2 Hz cadence = 3 s) before the
+    # coarse seed engages — transient blockage never escapes; the 25-fail
+    # skip budget still fires if even the seeded plan cannot route
+    coarse_escape_fails: int = 6
     coarse_factor: int = 8             # 0.8 m coarse cells
     coarse_iters: int = 384            # full-map relaxation sweeps
     lethal_cost: float = 99.0
@@ -676,6 +694,16 @@ class VioConfig:
     snap_stress_match_n: int = 0   # frame with fewer matches is "stressed"
     snap_stress_rot: float = 0.62  # rad/s body rotation rate = "stressed"
     snap_stress_min: int = 5       # consecutive stressed frames to arm
+    # sustained-starvation arm (ADVICE r4 #4): a tracking collapse that
+    # limps below snap_starve_match_n matches for snap_starve_min
+    # CONSECUTIVE frames (seconds — much longer than the 5-frame rotation
+    # streak) also arms the event model, so a genuine collapse that never
+    # relocalizes still produces registration events.  The long streak is
+    # what keeps dense-forest teach frames (short dips under any count
+    # threshold) from arming — the failure that made r4 zero out the
+    # short-streak match term.
+    snap_starve_match_n: int = 14
+    snap_starve_min: int = 30      # 3 s of continuous starvation at 10 Hz
     snap_p_stressed: float = 0.08  # per-frame event prob while armed
     snap_frac: float = 0.05        # snap std = frac x dist since last event
     snap_cap_m: float = 2.0        # per-event snap std cap [m]

@@ -154,6 +154,47 @@ def ransac_pose(p3d_teach, uv_live, p3d_live, pair_valid, key,
     return R_ref, t_ref, n_f, med, ok
 
 
+def sample_anchor_bias(lm_xy, key, cfg: LandmarkConfig):
+    """Published-anchor error vector (LandmarkConfig.anchor_bias_*).
+
+    Direction and the dominant magnitude component come from smooth
+    world-position fields evaluated at the teach landmark's position
+    (persistent per landmark, correlation length anchor_bias_scale_m);
+    a small per-attempt lognormal/direction jitter sits on top.  The
+    marginal magnitude over route positions is lognormal with median
+    anchor_bias_median_m and p90 anchor_bias_p90_m; the gross-mismatch
+    tail (anchor_gross_*) is i.i.d. per attempt — a wrong association
+    that passed the PnP gates is an independent event, and its >5 m mass
+    is what the consistency gate rejects (the CSV's 4.1 %
+    consistency_fail rate).  Tail statistics are pinned in
+    tests/test_landmarks.py::test_anchor_bias_tail_statistics."""
+    from nclt_slam_tpu.sensors.features import _bias_field
+
+    k_j, k_dj, k_g, k_gm = jax.random.split(key, 4)
+    s = cfg.anchor_bias_scale_m
+    fx = _bias_field(lm_xy[0], lm_xy[1], s, (0.7, 2.9, 4.1))
+    fy = _bias_field(lm_xy[0], lm_xy[1], s, (1.9, 3.1, 5.9))
+    fm = _bias_field(lm_xy[0], lm_xy[1], s, (2.3, 0.4, 3.7))
+    # _bias_field marginal std over positions is ~0.707 (3 unit sines x
+    # 0.577); split the target lognormal sigma between the field and the
+    # per-attempt jitter so the combined p90/median ratio hits the CSV's
+    sigma_tot = jnp.log(cfg.anchor_bias_p90_m / cfg.anchor_bias_median_m) \
+        / 1.281552  # Phi^-1(0.90)
+    sigma_f = jnp.sqrt(jnp.maximum(
+        sigma_tot ** 2 - cfg.anchor_bias_jitter_ln ** 2, 0.0)) / 0.707
+    mag = jnp.exp(jnp.log(cfg.anchor_bias_median_m) + sigma_f * fm +
+                  cfg.anchor_bias_jitter_ln * jax.random.normal(k_j))
+    if cfg.anchor_gross_p > 0.0:
+        gross = jax.random.uniform(k_g) < cfg.anchor_gross_p
+        gmag = jnp.exp(jax.random.uniform(
+            k_gm, minval=jnp.log(cfg.anchor_gross_lo_m),
+            maxval=jnp.log(cfg.anchor_gross_hi_m)))
+        mag = jnp.where(gross, gmag, mag)
+    th = jnp.arctan2(fy, fx) + \
+        cfg.anchor_bias_dir_jitter * jax.random.normal(k_dj)
+    return mag * jnp.stack([jnp.cos(th), jnp.sin(th)])
+
+
 def match_tick(store: LandmarkStore, obs: Observation, vio_xy, vio_heading,
                base_pos_vio, key, cam: CameraConfig,
                cfg: LandmarkConfig,
@@ -225,29 +266,16 @@ def match_tick(store: LandmarkStore, obs: Observation, vio_xy, vio_heading,
     anchor_xy = jnp.stack([bx, by])
 
     # aliased-correspondence bias on the composed anchor (see
-    # LandmarkConfig.anchor_bias_*): lognormal magnitude matched to the
-    # reference CSV's publish-shift spread, uniform direction.  Applied
-    # before the consistency gate so the distribution's >5 m tail produces
-    # the CSV's consistency_fail rate naturally.
+    # LandmarkConfig.anchor_bias_*): a persistent, spatially-correlated
+    # error field evaluated at the matched teach landmark — repeated
+    # matches to the same landmark repeat the same error, and consecutive
+    # landmarks along the route carry nearly the same error.  Applied
+    # before the consistency gate so the model's >5 m tail produces the
+    # CSV's consistency_fail rate naturally.
     if cfg.anchor_bias_median_m > 0.0:
-        k_mag, k_dir, k_g, k_gm = jax.random.split(
-            jax.random.fold_in(key, 7), 4)
-        sigma_ln = jnp.log(cfg.anchor_bias_p90_m / cfg.anchor_bias_median_m) \
-            / 1.281552  # Phi^-1(0.90)
-        mag = jnp.exp(jnp.log(cfg.anchor_bias_median_m) +
-                      sigma_ln * jax.random.normal(k_mag))
-        # gross-mismatch tail (LandmarkConfig.anchor_gross_*): a wrong
-        # association that passed the PnP gates — log-uniform magnitude,
-        # mostly killed by the 5 m consistency gate below (the CSV's
-        # consistency_fail rate), occasionally slipping through under 5 m
-        if cfg.anchor_gross_p > 0.0:
-            gross = jax.random.uniform(k_g) < cfg.anchor_gross_p
-            gmag = jnp.exp(jax.random.uniform(
-                k_gm, minval=jnp.log(cfg.anchor_gross_lo_m),
-                maxval=jnp.log(cfg.anchor_gross_hi_m)))
-            mag = jnp.where(gross, gmag, mag)
-        th = jax.random.uniform(k_dir, minval=0.0, maxval=2.0 * jnp.pi)
-        anchor_xy = anchor_xy + mag * jnp.stack([jnp.cos(th), jnp.sin(th)])
+        lm_xy = store.cam_pos[top[best], :2]
+        anchor_xy = anchor_xy + sample_anchor_bias(
+            lm_xy, jax.random.fold_in(key, 7), cfg)
 
     # consistency gate vs VIO (5 m base, drought-widened by the caller)
     cons_d = jnp.linalg.norm(anchor_xy - vio_xy)

@@ -294,6 +294,17 @@ def dispatch_plan(state: DispatchState, robot_xy, cost_win, win_r0, win_c0,
     # unsafe with no detour -> mark skip (consumed by dispatch_move)
     skip = state.skip.at[idx].set(state.skip[idx] | (unsafe & ~detour_ok))
 
+    # Two-level escape hatch: the full-map coarse potential seeds the
+    # window border ONLY after sustained window-plan failure (the target is
+    # unreachable within 19.2 m — a bypass longer than the window).  An
+    # always-available coarse route suppressed the dispatcher's skip
+    # machinery and sent robots on map-scale detours (coverage 73 -> 53 %,
+    # r4 measurement, PlannerConfig.coarse_seed note); gating on
+    # plan_fails engages it exactly where the reference's full-map NavFn
+    # is the behavioral difference — when the window says "no path".
+    if coarse_phi is not None:
+        escape = state.plan_fails >= cfg.coarse_escape_fails
+        coarse_goal = jnp.where(escape, coarse_goal, jnp.full(2, 1e9))
     plan = plan_world(cost_win, win_r0, win_c0, robot_xy, target, map_cfg,
                       cfg, coarse_phi=coarse_phi, coarse_goal=coarse_goal)
     plan_good = plan.ok & (plan.n_path > 1)

@@ -86,6 +86,7 @@ class VioState(NamedTuple):
     emit_off: jax.Array     # (3,) reported-trajectory translation offset
     dist_since_event: jax.Array  # () travel since the last backend event
     stress_streak: jax.Array     # () int32 consecutive stressed frames
+    starve_streak: jax.Array     # () int32 consecutive match-starved frames
 
 
 def init_vio(desc_words: int, window_kf: int = 10) -> VioState:
@@ -116,6 +117,7 @@ def init_vio(desc_words: int, window_kf: int = 10) -> VioState:
         emit_off=jnp.zeros(3),
         dist_since_event=jnp.float32(0.0),
         stress_streak=jnp.int32(0),
+        starve_streak=jnp.int32(0),
     )
 
 
@@ -402,11 +404,24 @@ def vio_frame(state: VioState, obs: Observation, imu_block_meas, dt_frame,
         (rot_rate > cfg.snap_stress_rot)
     stress_streak = jnp.where(stressed & (~first),
                               state.stress_streak + 1, jnp.int32(0))
+    # sustained match starvation (ADVICE r4 #4): a tracking collapse that
+    # limps for seconds without achieving relocalization is a real
+    # backend-correction scenario (ORB-SLAM3's VI estimator re-initializes
+    # under it) — but our 256-feature observe() dips below short-streak
+    # count thresholds on dense-forest teach frames where the reference's
+    # 3000-feature ORB does not, so the streak requirement is LONG
+    # (snap_starve_min frames ≈ seconds), unlike the 5-frame rotation
+    # streak.  Teach-band parity is re-measured in the calibration
+    # artifact whenever these change.
+    starved = n_match < cfg.snap_starve_match_n
+    starve_streak = jnp.where(starved & (~first),
+                              state.starve_streak + 1, jnp.int32(0))
     dist_since = state.dist_since_event + jnp.where(
         enough, jnp.linalg.norm(pos_new - state.pos), 0.0)
     if key is not None and cfg.snap_p_stressed > 0.0:
         k_ev, k_scale, k_off = jax.random.split(key, 3)
-        armed = (stress_streak >= cfg.snap_stress_min) & \
+        armed = ((stress_streak >= cfg.snap_stress_min) |
+                 (starve_streak >= cfg.snap_starve_min)) & \
             (dist_since >= cfg.snap_min_dist_m)
         fire = (armed & (jax.random.uniform(k_ev) < cfg.snap_p_stressed)) \
             | reloc
@@ -420,6 +435,7 @@ def vio_frame(state: VioState, obs: Observation, imu_block_meas, dt_frame,
         emit_scale = jnp.where(fire, scale_next, state.emit_scale)
         dist_since = jnp.where(fire, 0.0, dist_since)
         stress_streak = jnp.where(fire, jnp.int32(0), stress_streak)
+        starve_streak = jnp.where(fire, jnp.int32(0), starve_streak)
     else:
         fire = jnp.array(False)
         emit_off = state.emit_off
@@ -465,7 +481,8 @@ def vio_frame(state: VioState, obs: Observation, imu_block_meas, dt_frame,
         kf_obs_valid=kf_obs_valid,
         last_kf_pos=jnp.where(push, pos_new, state.last_kf_pos),
         emit_scale=emit_scale, emit_off=emit_off,
-        dist_since_event=dist_since, stress_streak=stress_streak)
+        dist_since_event=dist_since, stress_streak=stress_streak,
+        starve_streak=starve_streak)
     aux = VioAux(
         n_desc=n_desc.astype(jnp.int32),
         n_match=n_match.astype(jnp.int32),

@@ -131,23 +131,71 @@ def test_matcher_anchors_near_teach_pose(forest_strip):
 
 
 def test_anchor_bias_distribution():
-    """The aliased-anchor bias is the PnP solution's own error component
-    (sub-meter): its lognormal must hit the configured median/p90 exactly.
-    The reference CSV's FULL publish-shift spread (median 1.2 m, p90
-    3.3 m) is |anchor − nav| at publish time — dominated by the drift the
-    anchor corrects, not by anchor error — and is asserted end-to-end at
-    campaign level (tests/test_reference_parity.py, calibration
-    artifact), not here."""
+    """The published-anchor error model must reproduce the reference CSV's
+    publish-shift spread — which IS anchor-vs-GT error (the matcher's query
+    pose is /tmp/isaac_pose.txt, written as ground truth by
+    run_husky_forest.py:1078-1080): median 1.2 m, p90 3.3 m — as the
+    marginal over route positions of the persistent bias field + jitter."""
+    from nclt_slam_tpu.landmarks.matcher import sample_anchor_bias
+
+    cfg = dataclasses.replace(DEFAULT.landmarks, anchor_gross_p=0.0)
+    rng = np.random.default_rng(0)
+    xy = jnp.asarray(rng.uniform(-100, 100, (4000, 2)), jnp.float32)
+    keys = jax.random.split(jax.random.PRNGKey(1), 4000)
+    b = jax.vmap(lambda p, k: sample_anchor_bias(p, k, cfg))(xy, keys)
+    mags = np.linalg.norm(np.asarray(b), axis=1)
+    assert abs(np.median(mags) - cfg.anchor_bias_median_m) < 0.15, \
+        np.median(mags)
+    assert abs(np.percentile(mags, 90) - cfg.anchor_bias_p90_m) < 0.5, \
+        np.percentile(mags, 90)
+
+
+def test_anchor_bias_persistence():
+    """The bias is persistent per landmark (repeat matches differ only by
+    the per-attempt jitter) and spatially correlated (nearby landmarks
+    carry nearly the same error; far ones decorrelate) — the property that
+    keeps CSV-magnitude anchors navigable: a slowly-varying common-mode
+    offset instead of a 2 Hz jerk (ADVICE r4 #1)."""
+    from nclt_slam_tpu.landmarks.matcher import sample_anchor_bias
+
+    cfg = dataclasses.replace(DEFAULT.landmarks, anchor_gross_p=0.0)
+    keys = jax.random.split(jax.random.PRNGKey(2), 256)
+    p0 = jnp.array([10.0, -5.0])
+    b0 = jax.vmap(lambda k: sample_anchor_bias(p0, k, cfg))(keys)
+    b0 = np.asarray(b0)
+    # same landmark, different attempts: spread well below the magnitude
+    spread = np.linalg.norm(b0 - b0.mean(0), axis=1).mean()
+    assert spread < 0.5 * np.linalg.norm(b0.mean(0)), \
+        (spread, np.linalg.norm(b0.mean(0)))
+    # 2 m away: nearly the same error
+    b1 = np.asarray(jax.vmap(lambda k: sample_anchor_bias(
+        p0 + jnp.array([2.0, 0.0]), k, cfg))(keys))
+    assert np.linalg.norm(b1.mean(0) - b0.mean(0)) < \
+        0.5 * np.linalg.norm(b0.mean(0))
+    # decorrelation across the field: mean pairwise difference at 100+ m
+    # reaches the magnitude scale (not a global constant offset)
+    rng = np.random.default_rng(3)
+    far = jnp.asarray(rng.uniform(-150, 150, (64, 2)), jnp.float32)
+    bf = np.asarray(jax.vmap(lambda p, k: sample_anchor_bias(p, k, cfg))(
+        far, jax.random.split(jax.random.PRNGKey(4), 64)))
+    assert np.std(np.arctan2(bf[:, 1], bf[:, 0])) > 1.0
+
+
+def test_anchor_bias_consistency_fail_tail():
+    """The combined lognormal+gross model's >5 m mass must land where the
+    CSV's consistency_fail rate needs it: ~10 % of PnP-accepted solves
+    (4.1 % of all attempts at the CSV's ~42 % accept rate) — band 0.06-0.18
+    of published-candidate anchors (ADVICE r4 #3)."""
+    from nclt_slam_tpu.landmarks.matcher import sample_anchor_bias
+
     cfg = DEFAULT.landmarks
-    sigma = np.log(cfg.anchor_bias_p90_m / cfg.anchor_bias_median_m) / 1.281552
-    mags = np.exp(np.log(cfg.anchor_bias_median_m) +
-                  sigma * np.random.default_rng(0).standard_normal(200_000))
-    assert abs(np.median(mags) - cfg.anchor_bias_median_m) < 0.05
-    assert abs(np.percentile(mags, 90) - cfg.anchor_bias_p90_m) < 0.10
-    # the bias stays sub-meter in the typical case: anchors remain a net
-    # drift CORRECTION (the reference's full stack beats its no-anchor
-    # ablation by construction)
-    assert np.median(mags) < 1.0
+    rng = np.random.default_rng(5)
+    xy = jnp.asarray(rng.uniform(-100, 100, (8000, 2)), jnp.float32)
+    keys = jax.random.split(jax.random.PRNGKey(6), 8000)
+    b = jax.vmap(lambda p, k: sample_anchor_bias(p, k, cfg))(xy, keys)
+    mags = np.linalg.norm(np.asarray(b), axis=1)
+    tail = float((mags > cfg.consistency_m).mean())
+    assert 0.06 < tail < 0.18, tail
 
 
 def test_matcher_no_candidates_far_away(forest_strip):

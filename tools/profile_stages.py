@@ -89,7 +89,10 @@ def main():
     results = {}
 
     # ---- full tick ----
-    def full_scan(c):
+    # big arrays go through jit ARGUMENTS: closure-captured device arrays
+    # are serialized as constants into the remote-compile request, and the
+    # axon tunnel rejects the ~100 MB body (HTTP 413)
+    def full_scan(c, scene, route, teach_grid, stores):
         def body(c, t):
             return jax.vmap(
                 lambda ci, sc, rt, tg, st: repeat_step(
@@ -98,7 +101,8 @@ def main():
         c, tr = jax.lax.scan(body, c, jnp.arange(N_TICKS))
         return tr.gt_xy
 
-    results["full_tick"] = timed(jax.jit(full_scan), carry, iters=N_TICKS)
+    results["full_tick"] = timed(jax.jit(full_scan), carry, scene, route,
+                                 teach_grid, stores, iters=N_TICKS)
 
     # ---- stage: dynamics ----
     from nclt_slam_tpu.dynamics.diffdrive import nav_substeps
@@ -145,7 +149,7 @@ def main():
     pos3 = jnp.concatenate([route.spawn, jnp.ones((R, 1))], -1)
     yaw = route.spawn_yaw
 
-    def obs_scan(_):
+    def obs_scan(_, scene, pos3, yaw):
         def body(acc, t):
             o = jax.vmap(
                 lambda p, y, sc: observe(p, y, _scene_features(sc), sc.valid,
@@ -155,7 +159,8 @@ def main():
         acc, _ = jax.lax.scan(body, jnp.float32(0), jnp.arange(N_TICKS))
         return acc
 
-    results["observe"] = timed(jax.jit(obs_scan), carry, iters=N_TICKS)
+    results["observe"] = timed(jax.jit(obs_scan), carry, scene, pos3, yaw,
+                               iters=N_TICKS)
 
     # ---- stage: vio_frame ----
     from nclt_slam_tpu.vio.tracker import vio_frame, local_ba
@@ -165,7 +170,7 @@ def main():
                                  cfg.landmarks))(pos3, yaw, scene)
     imu_meas0 = jnp.zeros((R, cfg.sim.nav_decimation, 6))
 
-    def vio_scan(c):
+    def vio_scan(c, obs0, imu_meas0):
         def body(v, t):
             v, ok, _aux = jax.vmap(
                 lambda vi, o, m: vio_frame(
@@ -175,12 +180,13 @@ def main():
         v, _ = jax.lax.scan(body, c.vio, jnp.arange(N_TICKS))
         return v.pos
 
-    results["vio_frame"] = timed(jax.jit(vio_scan), carry, iters=N_TICKS)
+    results["vio_frame"] = timed(jax.jit(vio_scan), carry, obs0, imu_meas0,
+                                 iters=N_TICKS)
 
     # ---- sub-stage: cross_check_match only ----
     from nclt_slam_tpu.sensors.features import cross_check_match
 
-    def ccm_scan(c):
+    def ccm_scan(c, obs0):
         def body(acc, t):
             idx, m, d = jax.vmap(
                 lambda o, v: cross_check_match(o.desc, o.valid, v.map_desc,
@@ -190,7 +196,7 @@ def main():
         acc, _ = jax.lax.scan(body, jnp.int32(0), jnp.arange(N_TICKS))
         return acc
 
-    results["  cross_check_match"] = timed(jax.jit(ccm_scan), carry,
+    results["  cross_check_match"] = timed(jax.jit(ccm_scan), carry, obs0,
                                            iters=N_TICKS)
 
     # ---- stage: local_ba (per call; cadence 1/10) ----
@@ -207,18 +213,19 @@ def main():
     # ---- stage: match_tick (per call; cadence 1/5) ----
     from nclt_slam_tpu.landmarks.matcher import match_tick
 
-    def match_scan(c):
+    def match_scan(c, stores, obs0, spawn, yaw):
         def body(acc, t):
             res = jax.vmap(
                 lambda st, o, xy, y: match_tick(
                     st, o, xy, y, jnp.array([xy[0], xy[1], 0.0]),
                     jax.random.PRNGKey(0), cfg.camera, cfg.landmarks))(
-                stores, obs0, route.spawn, yaw)
+                stores, obs0, spawn, yaw)
             return acc + res.xy.sum(), None
         acc, _ = jax.lax.scan(body, jnp.float32(0), jnp.arange(N_TICKS))
         return acc
 
     results["match_tick (per call)"] = timed(jax.jit(match_scan), carry,
+                                             stores, obs0, route.spawn, yaw,
                                              iters=N_TICKS)
 
     # ---- stage: fusion_tick ----
@@ -245,7 +252,7 @@ def main():
         integrate_depth, occupancy_trinary, crop_window, inflate_cost,
         world_to_cell)
 
-    def depth_scan(_):
+    def depth_scan(_, scene, pos3, yaw):
         def body(acc, t):
             d, pw, dv = jax.vmap(
                 lambda p, y, sc: render_depth(p, y, sc.xy, sc.radius,
@@ -256,6 +263,7 @@ def main():
         return acc
 
     results["render_depth (per call)"] = timed(jax.jit(depth_scan), carry,
+                                               scene, pos3, yaw,
                                                iters=N_TICKS)
 
     depth0, _, dvalid0 = jax.vmap(
@@ -263,7 +271,7 @@ def main():
                                       sc.height, sc.valid, cfg.camera))(
         pos3, yaw, scene)
 
-    def integrate_scan(c):
+    def integrate_scan(c, depth0, dvalid0, spawn, yaw):
         def body(g, t):
             def one(gi, d, dv, xy, y):
                 p_cam = depth_to_cam_points(d, cfg.camera)
@@ -271,15 +279,17 @@ def main():
                     p_cam, jnp.array([xy[0], xy[1], 1.0]), y, cfg.camera)
                 return integrate_depth(gi, xy, pts.reshape(-1, 3),
                                        dv.reshape(-1), cfg.map)
-            g = jax.vmap(one)(g, depth0, dvalid0, route.spawn, yaw)
+            g = jax.vmap(one)(g, depth0, dvalid0, spawn, yaw)
             return g, None
         g, _ = jax.lax.scan(body, c.grid_live, jnp.arange(N_TICKS))
         return g
 
     results["integrate_depth (per call)"] = timed(jax.jit(integrate_scan),
-                                                  carry, iters=N_TICKS)
+                                                  carry, depth0, dvalid0,
+                                                  route.spawn, yaw,
+                                                  iters=N_TICKS)
 
-    def inflate_scan(c):
+    def inflate_scan(c, teach_grid, spawn):
         def body(acc, t):
             def one(g, tg, xy):
                 tri = occupancy_trinary(g, cfg.map)
@@ -287,56 +297,59 @@ def main():
                 r, cc = world_to_cell(xy[0], xy[1], cfg.map)
                 win, r0, c0 = crop_window(comb, r, cc, cfg.planner.window)
                 return inflate_cost(win, cfg.map)
-            cw = jax.vmap(one)(c.grid_live, teach_grid, route.spawn)
+            cw = jax.vmap(one)(c.grid_live, teach_grid, spawn)
             return acc + cw.sum(), None
         acc, _ = jax.lax.scan(body, jnp.float32(0), jnp.arange(N_TICKS))
         return acc
 
     results["trinary+crop+inflate (per call)"] = timed(
-        jax.jit(inflate_scan), carry, iters=N_TICKS)
+        jax.jit(inflate_scan), carry, teach_grid, route.spawn,
+        iters=N_TICKS)
 
     # ---- dispatch_plan (wavefront + projection etc; cadence 1/5) ----
     from nclt_slam_tpu.planning.dispatcher import dispatch_plan
 
-    def plan_scan(c):
+    def plan_scan(c, scene, spawn):
         def body(d, t):
             d2 = jax.vmap(
                 lambda di, xy, cw, sc: dispatch_plan(
                     di, xy, cw, jnp.int32(0), jnp.int32(0), sc.xy, sc.radius,
                     sc.drop_mask & sc.valid, cfg.map, cfg.planner))(
-                d, route.spawn, c.cost_win, scene)
+                d, spawn, c.cost_win, scene)
             return d2, None
         d, _ = jax.lax.scan(body, c.dispatch, jnp.arange(N_TICKS))
         return d.path_xy
 
     results["dispatch_plan (per call)"] = timed(jax.jit(plan_scan), carry,
+                                                scene, route.spawn,
                                                 iters=N_TICKS)
 
     # ---- follower + dispatch_move ----
     from nclt_slam_tpu.control.pure_pursuit import follower_tick
     from nclt_slam_tpu.planning.dispatcher import dispatch_move
 
-    def ctrl_scan(c):
+    def ctrl_scan(c, scene, spawn, yaw):
         def body(cc, t):
             ctrl, disp = cc
             disp = jax.vmap(
                 lambda di, xy, sc: dispatch_move(di, xy, sc.xy, sc.radius,
                                                  sc.drop_mask & sc.valid,
                                                  cfg.planner))(
-                disp, route.spawn, scene)
+                disp, spawn, scene)
             ctrl, v, w = jax.vmap(
                 lambda ct, xy, y, di, cw, r0, c0: follower_tick(
                     ct, xy, y, di.path_xy, di.n_path,
                     di.has_path & ~di.done, di.plan_version, cw, r0, c0,
                     t.astype(jnp.float32) * 0.1, cfg.map, cfg.control,
                     cfg.planner.window))(
-                ctrl, route.spawn, yaw, disp, c.cost_win, c.win_r0, c.win_c0)
+                ctrl, spawn, yaw, disp, c.cost_win, c.win_r0, c.win_c0)
             return (ctrl, disp), v
         (_, _), xs = jax.lax.scan(body, (c.ctrl, c.dispatch),
                                   jnp.arange(N_TICKS))
         return xs
 
     results["dispatch_move+follower"] = timed(jax.jit(ctrl_scan), carry,
+                                              scene, route.spawn, yaw,
                                               iters=N_TICKS)
 
     # ---- report ----
