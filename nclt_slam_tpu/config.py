@@ -341,24 +341,29 @@ class LandmarkConfig:
     # observation.
     # Bimodal appearance model (r3 calibration): ALIVE features shift a
     # few bits (published anchors then reach reference-level inlier counts)
-    # while a session_dead_frac of colliders flip ~session_dead_bits
+    # while a session_dead_frac of landmark views die wholesale
     # (unmatchable in the repeat session).  A single intermediate value
     # (10-12 bits everywhere) cannot reproduce the CSV's bimodal outcomes:
     # it pinned inliers at ~14-20 with either 23 % or 80 % published.
     session_shift_bits: float = 4.0
     session_pkeep_scale: float = 0.85  # repeat-session detector response
-    # 0.65 tuned on 3 routes gave 54 % published over the full 15-route
-    # campaign (easy routes skew high).  The response is cliff-like (cells
-    # flip wholesale as the hash threshold moves): full-campaign published
-    # 0.70 -> 52.3 %, 0.73 -> 29.7 % (no_pnp 63 %), 0.74 -> 30.7 %.  0.72
-    # lands closest to the CSV's 38.1 % published / 45.0 % no_pnp_accept
-    # aggregate (artifacts/calibration/ours.json).
-    session_dead_frac: float = 0.72    # fraction of appearance cells dead
-    session_dead_cell_m: float = 24.0  # appearance death cell size [m]
-    session_dead_bits: float = 128.0   # flip bits for dead cells: 48 left
-    # true pairs at Hamming ~64-76 — still the mutual-NN winner against
-    # ~128-distance decoys, so 'dead' zones kept matching (r3 iterI, 94 %
-    # published); 128 = fully decorrelated = genuinely unmatchable
+    # Appearance DEATH (sun-angle/shadow flips killing a view's ORB
+    # responses wholesale) is assigned per ALONG-ROUTE LANDMARK BLOCK with
+    # a golden-ratio low-discrepancy sequence (landmarks/matcher.py
+    # _block_dead).  History: r3 keyed death on 24 m world cells with an
+    # i.i.d. hash — a route crosses only 4-13 cells, so path dead
+    # fractions landed anywhere in 0.14-0.95 (the r4 1.2-86 % per-route
+    # publish pathology); an r5a rank-1 lattice over the same cells still
+    # left path-weighted fractions at 0.12-0.94 (measured: route 03 94 %
+    # no_pnp vs route 15 12 %) because a path oversamples whichever cells
+    # it runs along.  Blocks of consecutive stored landmarks make the
+    # discrepancy bound PER ROUTE by construction (three-distance
+    # theorem): any ~20-block route sits within ~1 block of the target
+    # fraction, while whole blocks (~dead_block_landmarks x 2 m of route)
+    # dying together keeps the attempt-level bimodality and the
+    # multi-tens-of-meters anchor droughts the CSV shows.
+    session_dead_frac: float = 0.55    # fraction of landmark blocks dead
+    dead_block_landmarks: int = 6      # block = 6 landmarks ~ 12 m route
     # cross-session detector overlap: the fraction of teach-session
     # keypoints that are re-detected in the repeat session.  ORB detection
     # is unstable under lighting change — moved shadows promote different

@@ -195,6 +195,26 @@ def sample_anchor_bias(lm_xy, key, cfg: LandmarkConfig):
     return mag * jnp.stack([jnp.cos(th), jnp.sin(th)])
 
 
+def _block_dead(li, off, cfg: LandmarkConfig):
+    """Cross-session appearance death per along-route landmark block.
+
+    Landmarks are stored in along-route order (the 2 m displacement
+    trigger), so blocks of ``dead_block_landmarks`` consecutive slots are
+    ~12 m stretches of route whose views die together (sun-angle/shadow
+    flips wipe a neighborhood's ORB responses wholesale — the mechanism
+    behind the reference's bimodal anchor outcomes: failed attempts carry
+    best_n_inliers ~0 while published ones average 31.8,
+    anchor_matches.csv).  Block death follows a golden-ratio
+    low-discrepancy sequence, so EVERY route's dead fraction sits within
+    ~1 block of session_dead_frac (three-distance theorem) — unlike
+    world-keyed cells, which a path samples unevenly (the r4/r5a 1.2-86 %
+    per-route publish pathology; see LandmarkConfig.session_dead_frac).
+    ``off`` is the per-route session phase."""
+    block = li // jnp.maximum(cfg.dead_block_landmarks, 1)
+    u = jnp.mod(block.astype(jnp.float32) * 0.6180339887 + off, 1.0)
+    return u < cfg.session_dead_frac
+
+
 def match_tick(store: LandmarkStore, obs: Observation, vio_xy, vio_heading,
                base_pos_vio, key, cam: CameraConfig,
                cfg: LandmarkConfig,
@@ -223,12 +243,19 @@ def match_tick(store: LandmarkStore, obs: Observation, vio_xy, vio_heading,
     live_valid = obs.valid
     enough_live = live_valid.sum() >= cfg.min_matches
 
+    # per-route session phase for the block-death sequence: keyed on the
+    # route's first recorded landmark (constant through the session)
+    sess_off = jnp.mod(store.cam_pos[0, 0] * 0.7548777 +
+                       store.cam_pos[0, 1] * 0.5698403, 1.0)
+
     keys = jax.random.split(key, cfg.max_candidates)
 
     def try_candidate(li, li_ok, k):
         t_desc = store.desc[li]
         t_valid = store.feat_valid[li]
         m_idx, matched = cross_check_match(t_desc, t_valid, obs.desc, live_valid)
+        dead = _block_dead(li, sess_off, cfg)
+        matched = matched & ~dead       # dead view: nothing cross-matches
         n_match = matched.sum()
         enough = n_match >= cfg.min_matches
 

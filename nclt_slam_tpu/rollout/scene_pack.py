@@ -117,47 +117,17 @@ def pack_scene(scene: SceneColliders, drops: RouteDrops | None = None,
             pkeep=feats.pkeep * cfg.landmarks.session_pkeep_scale)
         desc = feats.desc
         if cfg.landmarks.session_shift_bits > 0:
-            # appearance shift on the surviving (shared) keypoints, with
-            # per-collider appearance DEATH: a fraction of trees/props are
-            # effectively unrecognizable in the repeat session (sun-angle /
-            # shadow flip kills that view's ORB responses wholesale) — the
-            # mechanism behind the reference's bimodal anchor outcomes
-            # (failed attempts have best_n_inliers ~ 0, not 8-9, and
-            # published ones average 31.8; anchor_matches.csv) and its
-            # spatial anchor droughts.
-            lm = cfg.landmarks
-            # Appearance death is keyed on the feature's WORLD-POSITION
-            # cell (trees die together with the floor beneath them): canopy
-            # sun patches / moved shadows wipe whole neighborhoods at once.
-            # The cell must cover a view cone (~camera range), otherwise a
-            # landmark's features straddle several cells and some chunk is
-            # always alive — measured: per-collider + 8 m-cell death left
-            # published at 79 % vs the CSV's 38 %.  Zone-scale death is what
-            # produces the reference's bimodal outcomes AND its multi-tens-
-            # of-meters anchor droughts.
-            fxy = np.asarray(feats.xyz)[:, :2]
-            cell = np.floor(fxy / lm.session_dead_cell_m).astype(np.int64)
-            # Low-discrepancy (rank-1 lattice) dead-cell assignment instead
-            # of an i.i.d. hash.  A route traverses only 4-13 cells of this
-            # size, so i.i.d. cell draws give PATH-weighted dead fractions
-            # anywhere in 0.14-0.95 (measured over the 15 routes) — which
-            # is exactly the r4 per-route publish pathology (1.2 %-86 %
-            # published vs the CSV's unimodal per-route band, VERDICT r4
-            # weak #4).  The lattice keeps every route's dead fraction
-            # within ~0.16 of session_dead_frac while staying world-keyed
-            # (routes crossing the same area see the same cells) and
-            # zone-scale (whole cells die — the attempt-level bimodality
-            # the CSV's outcome stats demand).  Multipliers chosen by
-            # direct search for equidistribution over the route family's
-            # cell chains (tools note in RESULTS.md r5).
-            a1, a2 = 0.721343180, 0.225482267
-            off = ((feat_seed * 83492791 + session) % 97) / 97.0
-            cell_u = np.mod(cell[:, 0] * a1 + cell[:, 1] * a2 + off, 1.0)
-            dead = cell_u < lm.session_dead_frac
-            bits = np.where(dead, lm.session_dead_bits,
-                            lm.session_shift_bits)
+            # appearance shift on the surviving (shared) keypoints.
+            # Appearance DEATH (whole views unrecognizable in the repeat
+            # session) is NOT applied here: world-keyed per-feature death
+            # cannot be balanced per route (a path oversamples whichever
+            # cells it runs along — the r4/r5a per-route publish
+            # pathology).  Death lives in the matcher as a per-stored-
+            # landmark-block low-discrepancy sequence
+            # (landmarks/matcher.py _block_dead,
+            # LandmarkConfig.session_dead_frac note).
             masks = session_shift_masks(
-                np.asarray(desc).shape, bits,
+                np.asarray(desc).shape, cfg.landmarks.session_shift_bits,
                 seed=feat_seed * 7919 + session)
             desc = jnp.asarray(np.asarray(desc) ^ masks)
     else:

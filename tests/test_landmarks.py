@@ -114,7 +114,8 @@ def test_matcher_anchors_near_teach_pose(forest_strip):
     # zero the aliased-anchor bias: this test checks the GEOMETRIC solver
     # (the bias model's distribution is pinned by
     # test_anchor_bias_distribution below)
-    lcfg = dataclasses.replace(CFG.landmarks, anchor_bias_median_m=0.0)
+    lcfg = dataclasses.replace(CFG.landmarks, anchor_bias_median_m=0.0,
+                           session_dead_frac=0.0)
     match = jax.jit(lambda s, o, v, h, p, k: match_tick(
         s, o, v, h, p, k, CFG.camera, lcfg))
 
@@ -225,7 +226,8 @@ def test_consistency_gate_drought_relaxation(forest_strip):
         store = rec(store, obs, cam_p, jnp.float32(0.0))
 
     # bias off: this test exercises the gate mechanics, not the error model
-    lcfg = dataclasses.replace(CFG.landmarks, anchor_bias_median_m=0.0)
+    lcfg = dataclasses.replace(CFG.landmarks, anchor_bias_median_m=0.0,
+                           session_dead_frac=0.0)
     true_xy = (20.4, 0.3)
     believed = jnp.array([26.5, 2.0])     # ~6.4 m nav error
     obs = obs_at(feats, ov, *true_xy, 0.0, seed=99)
@@ -241,3 +243,30 @@ def test_consistency_gate_drought_relaxation(forest_strip):
     err = np.hypot(float(res2.xy[0]) - true_xy[0],
                    float(res2.xy[1]) - true_xy[1])
     assert err < 1.0
+
+
+def test_block_death_low_discrepancy_per_route():
+    """Block death (matcher._block_dead): every along-route window of
+    blocks carries a dead fraction within ~1 block of session_dead_frac —
+    the property world-keyed cells could not give (per-route publish
+    1.2-86 % in r4) — while whole blocks die together (droughts)."""
+    import jax.numpy as jnp
+
+    from nclt_slam_tpu.landmarks.matcher import _block_dead
+
+    cfg = CFG.landmarks
+    B = cfg.dead_block_landmarks
+    for off in (0.05, 0.37, 0.81):
+        li = jnp.arange(384)
+        dead = np.asarray(_block_dead(li, jnp.float32(off), cfg))
+        # per-landmark persistent + block-aligned
+        blocks = dead.reshape(-1, B)
+        assert (blocks.all(1) | (~blocks).any(1)).all()
+        assert (blocks == blocks[:, :1]).all()
+        # windows of 20 blocks (a typical route's store span): fraction
+        # within 1.5 blocks of the target
+        bd = blocks[:, 0]
+        for s in range(0, len(bd) - 20):
+            frac = bd[s:s + 20].mean()
+            assert abs(frac - cfg.session_dead_frac) <= 1.5 / 20 + 1e-6, \
+                (off, s, frac)
