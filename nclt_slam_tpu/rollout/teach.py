@@ -62,6 +62,7 @@ class TeachTrace(NamedTuple):
     done: jax.Array        # (T,) bool
     cmd_v: jax.Array       # (T,)
     vio_xy: jax.Array      # (T, 2) raw VIO xy (VIO frame); zeros if no VIO
+    vio_tracked: jax.Array  # (T,) VIO match count (teach starvation diag)
     drift_max: jax.Array   # (T,) last monitor drift_max
     aborted: jax.Array     # (T,) bool — drift gate fired
 
@@ -180,7 +181,10 @@ def teach_step(carry: TeachCarry, tick, scene: PackedScene, route: PackedRoute,
 
     trace = TeachTrace(gt_xy=robot.xy, gt_yaw=robot.yaw,
                        done=halted | done, cmd_v=v,
-                       vio_xy=vio_xy, drift_max=drift.drift_max,
+                       vio_xy=vio_xy,
+                       vio_tracked=(vio.n_tracked if cfg.teach.run_vio
+                                    else jnp.int32(-1)),
+                       drift_max=drift.drift_max,
                        aborted=drift.aborted)
     return TeachCarry(robot=robot, grid=grid, store=store,
                       chase_idx=chase_idx, key=key,

@@ -150,13 +150,20 @@ def run(route_names, mode: str, teach_ticks: int, repeat_ticks: int,
         teach_drift[name] = (mean, mx)
 
     # --- anchor outcome distribution ---
+    # Count only LIVE attempts (route not done): after the dispatcher
+    # finishes, the robot parks at spawn while the rollout keeps ticking —
+    # thousands of attempts from ONE pose whose dead-block phase then
+    # dominates the route's outcome mix (measured: route 01 swung
+    # 19.9 % -> 77.9 % published between probes purely on parked time).
+    # The reference CSV has no such rows: the matcher process is killed
+    # when the route ends.
     reasons = np.asarray(rep.trace.anchor_reason)
     shifts = np.asarray(rep.trace.anchor_shift)
     inliers = np.asarray(rep.trace.anchor_inliers)
-    ok = np.asarray(rep.trace.anchor_ok)
+    ok = np.asarray(rep.trace.anchor_ok) & ~np.asarray(rep.trace.done)
     anchor = {}
     for i, name in enumerate(data.names):
-        att = reasons[i] >= 0
+        att = (reasons[i] >= 0) & ~np.asarray(rep.trace.done)[i]
         n_att = int(att.sum())
         hist = collections.Counter(reasons[i][att].tolist())
         frac = {REASON_NAMES[k]: v / max(n_att, 1) for k, v in hist.items()}
