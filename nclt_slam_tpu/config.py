@@ -104,8 +104,14 @@ class CameraConfig:
     # random walk over distance instead of cancelling).
     depth_bias_amp: float = 0.005       # depth scale bias amplitude
     depth_bias_scale_m: float = 30.0   # spatial correlation length
-    px_bias_amp: float = 0.4           # pixel offset bias amplitude [px]
-    px_bias_scale_m: float = 40.0
+    px_bias_amp: float = 0.25          # pixel offset bias amplitude [px]
+    px_bias_scale_m: float = 20.0
+    # (amp, scale) set by the r5 teach-band sweep (RESULTS.md r5): the
+    # pointing bias integrates along straight diagonals (route 05 paid
+    # 2.11 m mean at 0.4 px/40 m — 20x route 13's 0.12, a geometric
+    # resonance the reference's flat 0.34-0.65 band rules out) while
+    # multi-leg routes cancel it; 0.25 px/20 m lands 05/02/13 at
+    # 0.26/0.37/0.04 m mean (max 0.67) inside the reference band's reach
     # rotational motion blur: a 30 ms exposure at |ω| = 0.8 rad/s smears
     # ~1.4° ≈ 8 px across the image — ORB detection collapses and surviving
     # corners localize poorly.  Scales feature dropout and pixel noise with
@@ -362,7 +368,7 @@ class LandmarkConfig:
     # fraction, while whole blocks (~dead_block_landmarks x 2 m of route)
     # dying together keeps the attempt-level bimodality and the
     # multi-tens-of-meters anchor droughts the CSV shows.
-    session_dead_frac: float = 0.55    # fraction of landmark blocks dead
+    session_dead_frac: float = 0.47    # fraction of landmark blocks dead
     dead_block_landmarks: int = 6      # block = 6 landmarks ~ 12 m route
     # cross-session detector overlap: the fraction of teach-session
     # keypoints that are re-detected in the repeat session.  ORB detection
