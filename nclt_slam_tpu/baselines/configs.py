@@ -37,7 +37,7 @@ def stock_nav2() -> Config:
         planner=dataclasses.replace(
             base.planner, enable_detour=False, enable_projection=False,
             enable_known_obstacle_gate=False, enable_lookahead_skip=False,
-            stock_follow=True),
+            stock_follow=True, gt_stall_abort=True),
         control=dataclasses.replace(
             base.control, enable_wedge=False, enable_antispin=False,
             enable_prox=False, use_rpp=True),
@@ -46,5 +46,9 @@ def stock_nav2() -> Config:
 
 def rgbd_no_imu() -> Config:
     """exp 76: our pipeline with pure RGB-D VIO (no inertial term); the
-    anchor matcher stays on (exp 76's results contain anchor_matches.csv)."""
-    return cfg_mod.rgbd_no_imu()
+    anchor matcher stays on (exp 76's results contain anchor_matches.csv).
+    Baseline runs carry the GT-stall watchdog (rerun 2026-04-23 'with
+    fixes (same as exp 74)', routes/README.md:188-190)."""
+    base = cfg_mod.rgbd_no_imu()
+    return base.replace(planner=dataclasses.replace(
+        base.planner, gt_stall_abort=True))

@@ -507,6 +507,16 @@ class PlannerConfig:
     # putting consecutive WPs in static-map inflation, this is the crawl
     # that ends the reference's stock runs at 30-100 m via the tier timeout.
     stock_abort_ticks: int = 900
+    # Baseline GT-stall watchdog (_baselines_common/watchdog.py:60-117):
+    # exp 74/76 runs are KILLED when ground truth moves < gt_stall_min_m
+    # within a gt_stall_window_s wall window (after warmup) — a stock run
+    # that wedges in inflation near tick N ends there, it does not get
+    # the rest of the tier timeout to crawl free.  Our-stack runs carry
+    # no watchdog (run_repeat_ours.sh waits on goal RESULT only).
+    gt_stall_abort: bool = False       # on for stock/rgbd baseline configs
+    gt_stall_window_ticks: int = 1800  # 180 s @ 10 Hz
+    gt_stall_min_m: float = 1.5
+    gt_stall_warmup_ticks: int = 2400  # 240 s warmup
 
 
 @_frozen

@@ -307,7 +307,19 @@ def dispatch_plan(state: DispatchState, robot_xy, cost_win, win_r0, win_c0,
         coarse_goal = jnp.where(escape, coarse_goal, jnp.full(2, 1e9))
     plan = plan_world(cost_win, win_r0, win_c0, robot_xy, target, map_cfg,
                       cfg, coarse_phi=coarse_phi, coarse_goal=coarse_goal)
-    plan_good = plan.ok & (plan.n_path > 1)
+    # Nav2 NavFn refuses to plan from a lethal start: when localization
+    # drift puts the BELIEVED pose inside (static-map) inflation,
+    # ComputePathToPose fails outright and no recovery fixes the static
+    # layer (ClearCostmap clears live paint only).  This is the dominant
+    # stock-baseline death: a 1-3 m drift in tree-dense forest lands the
+    # believed start in inflated lethal cost near spawn, the BT cycles
+    # recoveries with no path, and the GT-stall watchdog kills the run —
+    # coverage 3-10 % with the robot barely moved
+    # (routes/README.md:160-185, exp-74 mid-route deaths at 30-70 m).
+    start_cost = _cost_at(cost_win, win_r0, win_c0, robot_xy, map_cfg,
+                          cfg.window)
+    start_lethal = start_cost >= 99.0
+    plan_good = plan.ok & (plan.n_path > 1) & ~start_lethal
 
     # stock: NavFn planning FAILS when every cell within the goal
     # tolerance (1 m, nav2_stock_params.yaml v3c) is lethal — evaluated at
@@ -322,7 +334,10 @@ def dispatch_plan(state: DispatchState, robot_xy, cost_win, win_r0, win_c0,
             [jnp.cos(ang), jnp.sin(ang)], -1)[None, :, :]
         disc_cost = _cost_at(cost_win, win_r0, win_c0, disc, map_cfg,
                              cfg.window)
-        goal_blocked = disc_cost.min() >= 99.0
+        # start-lethal joins the goal-disc failure: either way the BT's
+        # ComputePathToPose action errors and the controller sits path-less
+        # through the recovery crawl (see start_lethal above)
+        goal_blocked = (disc_cost.min() >= 99.0) | start_lethal
     else:
         goal_cost = _cost_peak_3x3(cost_win, win_r0, win_c0, target,
                                    map_cfg, cfg.window)

@@ -80,6 +80,7 @@ class RepeatCarry(NamedTuple):
     win_c0: jax.Array
     coarse_phi: jax.Array   # level-1 full-map cost-to-goal potential
     coarse_goal: jax.Array  # (2,) the goal coarse_phi was computed for
+    gt_hist: jax.Array      # (18, 2) GT ring buffer (baseline watchdog)
     cmd: jax.Array          # (2,) v, w applied next tick
     key: jax.Array
 
@@ -102,6 +103,9 @@ class RepeatTrace(NamedTuple):
     cmd_v: jax.Array
     done: jax.Array
     fired: jax.Array
+    goal_blocked: jax.Array   # stock diag: NavFn goal-disc failure this tick
+    plan_fails: jax.Array     # consecutive window-plan failures
+    recovery_phase: jax.Array  # RPP BT recovery phase (-1 = thesis follower)
 
 
 class RepeatResult(NamedTuple):
@@ -305,6 +309,27 @@ def repeat_step(carry: RepeatCarry, tick, scene: PackedScene,
     dispatch = dispatch_move(dispatch, nav_xy, scene.xy, scene.radius,
                              scene.drop_mask & valid_now, cfg.planner)
 
+    # --- baseline GT-stall watchdog (_baselines_common/watchdog.py) ---
+    # The reference kills an exp-74/76 run when GROUND TRUTH moves less
+    # than 1.5 m inside a 180 s window: a baseline wedged in inflation
+    # ends its run at the first sustained stall instead of crawling
+    # through the remaining tier timeout.  Ring-sampled GT bbox over the
+    # window; fires only after the 240 s warmup (bring-up hold parks the
+    # robot legitimately).
+    gt_hist = carry.gt_hist
+    if cfg.planner.gt_stall_abort:
+        W_h = gt_hist.shape[0]
+        period = cfg.planner.gt_stall_window_ticks // W_h
+        slot = (tick // period) % W_h
+        gt_hist = jax.lax.cond(
+            tick % period == 0,
+            lambda h: h.at[slot].set(robot.xy), lambda h: h, gt_hist)
+        window_full = tick >= cfg.planner.gt_stall_window_ticks
+        span = jnp.linalg.norm(gt_hist.max(0) - gt_hist.min(0))
+        stalled = (tick >= cfg.planner.gt_stall_warmup_ticks) & \
+            window_full & (span < cfg.planner.gt_stall_min_m)
+        dispatch = dispatch._replace(done=dispatch.done | stalled)
+
     # --- follower (thesis pure-pursuit stack or stock RPP baseline) ---
     if cfg.control.use_rpp:
         ctrl, v, w = rpp_tick(
@@ -343,13 +368,17 @@ def repeat_step(carry: RepeatCarry, tick, scene: PackedScene,
         vio_ndesc=vio_aux.n_desc if has_aux else jnp.int32(-1),
         vio_nins=vio_aux.n_ins if has_aux else jnp.int32(-1),
         vio_flags=vio_aux.flags if has_aux else jnp.int32(0),
-        wp_idx=dispatch.idx, cmd_v=v, done=dispatch.done, fired=sup.fired)
+        wp_idx=dispatch.idx, cmd_v=v, done=dispatch.done, fired=sup.fired,
+        goal_blocked=dispatch.goal_blocked,
+        plan_fails=dispatch.plan_fails,
+        recovery_phase=(ctrl.phase if cfg.control.use_rpp else jnp.int32(-1)))
     new_carry = RepeatCarry(
         robot=robot, ctrl=ctrl, dispatch=dispatch, sup=sup,
         imu=imu, vio=vio, fusion=fusion,
         grid_live=grid_live, cost_win=cost_win,
         win_r0=win_r0, win_c0=win_c0,
         coarse_phi=coarse_phi, coarse_goal=coarse_goal,
+        gt_hist=gt_hist,
         cmd=jnp.stack([v, w]), key=key)
     return new_carry, trace
 
@@ -377,6 +406,7 @@ def init_repeat_carry(route: PackedRoute, wps, n_wps, cfg: Config,
         win_c0=jnp.int32(0),
         coarse_phi=jnp.full((Rc, Cc), 1e9, jnp.float32),
         coarse_goal=jnp.full(2, 1e9, jnp.float32),
+        gt_hist=jnp.zeros((18, 2), jnp.float32),
         cmd=jnp.zeros(2),
         key=key,
     )
