@@ -105,7 +105,12 @@ def _set_platform(platform: str):
 
 
 def run(route_names, mode: str, teach_ticks: int, repeat_ticks: int,
-        platform: str):
+        platform: str, shared=None):
+    """One mode's campaign.  ``shared``: optional (data, teach, wps, n_wps)
+    from a previous mode — the reference's baselines CONSUME the ours-stack
+    teach artefacts (run.sh: TEACH=.../RP_TEACH_SUBDIR), they don't
+    re-teach, and sharing the build skips the ~15 min feature re-transfer
+    per mode through the axon tunnel."""
     _set_platform(platform)
     import numpy as np
 
@@ -116,8 +121,18 @@ def run(route_names, mode: str, teach_ticks: int, repeat_ticks: int,
         build_campaign, campaign_metrics, run_campaign_repeat,
         run_campaign_teach, teach_waypoints)
 
+    import dataclasses as _dc
+
+    def _rgbd_ba():
+        # VERDICT r4 #4 experiment: the RGB-D-only estimator is the one
+        # ORB-SLAM3 case that structurally needs multi-view refinement —
+        # local sliding-window BA (ops/ba_pallas solve path) at 1 Hz
+        b = rgbd_no_imu()
+        return b.replace(vio=_dc.replace(b.vio, enable_local_ba=True))
+
     cfg = {"ours": config.ours, "rgbd": rgbd_no_imu,
-           "stock": stock_nav2, "encoder": config.encoder_only}[mode]()
+           "stock": stock_nav2, "encoder": config.encoder_only,
+           "rgbd_ba": _rgbd_ba}[mode]()
 
     def prog(tag):
         def f(done_ticks, total, n_done):
@@ -125,15 +140,18 @@ def run(route_names, mode: str, teach_ticks: int, repeat_ticks: int,
                   f"{n_done} routes done", flush=True)
         return f
 
-    data = build_campaign(route_names, cfg=cfg)
-    print("[calibrate] campaign built", flush=True)
-    teach_cfg = cfg  # teach always runs the full VIO for drift recording
-    teach = run_campaign_teach(data, teach_cfg, n_ticks=teach_ticks,
-                               progress=prog("teach"))
-    wps, n_wps = teach_waypoints(data, teach, teach_cfg)
+    if shared is None:
+        teach_cfg = config.ours()  # teach always runs the full VI stack
+        data = build_campaign(route_names, cfg=teach_cfg)
+        print("[calibrate] campaign built", flush=True)
+        teach = run_campaign_teach(data, teach_cfg, n_ticks=teach_ticks,
+                                   progress=prog("teach"))
+        wps, n_wps = teach_waypoints(data, teach, teach_cfg)
+        shared = (data, teach, wps, n_wps)
+    data, teach, wps, n_wps = shared
     rep = run_campaign_repeat(data, teach.teach_grid, wps, n_wps, cfg,
                               n_ticks=repeat_ticks, stores=teach.store,
-                              progress=prog("repeat"))
+                              progress=prog(f"repeat[{mode}]"))
     per_route, agg = campaign_metrics(data, rep, wps, n_wps, cfg)
 
     # --- teach drift (drift-monitor equivalent: aligned VIO vs GT) ---
@@ -176,11 +194,11 @@ def run(route_names, mode: str, teach_ticks: int, repeat_ticks: int,
             "inliers_mean": float(inl.mean()) if len(inl) else 0.0,
         }
 
-    return data.names, per_route, agg, teach_drift, anchor
+    return (data.names, per_route, agg, teach_drift, anchor), shared
 
 
 def report(names, per_route, agg, teach_drift, anchor, mode):
-    ref_repeat = REF_REPEAT_STOCK if mode == "stock" else REF_REPEAT_OURS
+    ref_repeat = REF_REPEAT_STOCK if mode == "stock" else REF_REPEAT_OURS  # rgbd_* vs ours table is indicative only
     print(f"\n=== calibration report (mode={mode}) ===")
     print(f"{'route':<16} {'teach m/mx':>12} {'ref':>10} | "
           f"{'drift m/p95':>12} {'ref':>10} | {'cov%':>5} {'ref':>4} | "
@@ -228,7 +246,7 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--routes", default="08_nw_sw,01_road,02_north_forest")
     ap.add_argument("--mode", default="ours",
-                    choices=["ours", "rgbd", "stock", "encoder"])
+                    choices=["ours", "rgbd", "stock", "encoder", "rgbd_ba", "all"])
     ap.add_argument("--ticks", type=int, default=12000)
     ap.add_argument("--teach-ticks", type=int, default=12000)
     ap.add_argument("--platform", default="tpu", choices=["tpu", "cpu"])
@@ -240,14 +258,20 @@ def main():
 
     routes = (list(ALL_ROUTES) if args.routes == "all"
               else args.routes.split(","))
-    names, per_route, agg, teach_drift, anchor = run(
-        routes, args.mode, args.teach_ticks, args.ticks, args.platform)
-    report(names, per_route, agg, teach_drift, anchor, args.mode)
-    if args.json:
-        out = {"mode": args.mode, "per_route": per_route, "agg": agg,
-               "teach_drift": teach_drift, "anchor": anchor}
-        Path(args.json).write_text(json.dumps(out, indent=1, default=float))
-        print(f"wrote {args.json}")
+    modes = (["ours", "stock", "rgbd", "rgbd_ba", "encoder"] if args.mode == "all"
+             else [args.mode])
+    shared = None
+    for mode in modes:
+        (names, per_route, agg, teach_drift, anchor), shared = run(
+            routes, mode, args.teach_ticks, args.ticks, args.platform,
+            shared=shared)
+        report(names, per_route, agg, teach_drift, anchor, mode)
+        if args.json:
+            path = Path(args.json.replace("MODE", mode))
+            out = {"mode": mode, "per_route": per_route, "agg": agg,
+                   "teach_drift": teach_drift, "anchor": anchor}
+            path.write_text(json.dumps(out, indent=1, default=float))
+            print(f"wrote {path}")
 
 
 if __name__ == "__main__":
