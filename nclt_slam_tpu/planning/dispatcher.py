@@ -307,19 +307,26 @@ def dispatch_plan(state: DispatchState, robot_xy, cost_win, win_r0, win_c0,
         coarse_goal = jnp.where(escape, coarse_goal, jnp.full(2, 1e9))
     plan = plan_world(cost_win, win_r0, win_c0, robot_xy, target, map_cfg,
                       cfg, coarse_phi=coarse_phi, coarse_goal=coarse_goal)
-    # Nav2 NavFn refuses to plan from a lethal start: when localization
-    # drift puts the BELIEVED pose inside (static-map) inflation,
-    # ComputePathToPose fails outright and no recovery fixes the static
-    # layer (ClearCostmap clears live paint only).  This is the dominant
-    # stock-baseline death: a 1-3 m drift in tree-dense forest lands the
-    # believed start in inflated lethal cost near spawn, the BT cycles
-    # recoveries with no path, and the GT-stall watchdog kills the run —
-    # coverage 3-10 % with the robot barely moved
-    # (routes/README.md:160-185, exp-74 mid-route deaths at 30-70 m).
+    # Lethal-start semantics.  Nav2's NavFn CLEARS the start cell before
+    # planning ("we know it can't be an obstacle"), so the hybrid stack's
+    # planner keeps planning with the believed pose inside inflation —
+    # restricting plan_good on start_lethal for ours-mode was measured to
+    # CAUSE a reach regression (r5 full campaign: route 03 drift 4.1 ->
+    # 15.3 m via plan-drought -> skip-cascade -> blur/snap feedback).
+    # For the STOCK baseline, start_lethal stands in for the reference's
+    # physical wedge-stall: a believed pose inside mapped inflation means
+    # the TRUE pose is wedged against the real obstacle a drift-offset
+    # away; stock has no prox limiter/wedge reversal, so the BT loops
+    # recoveries in place ("recovery behaviors loop endlessly in
+    # tree-dense costmap inflation; robot barely moves",
+    # routes/README.md:179-185) until the GT-stall watchdog kills the
+    # run — exp-74's 3-10 % coverages with near-zero integrated drift.
     start_cost = _cost_at(cost_win, win_r0, win_c0, robot_xy, map_cfg,
                           cfg.window)
     start_lethal = start_cost >= 99.0
-    plan_good = plan.ok & (plan.n_path > 1) & ~start_lethal
+    plan_good = plan.ok & (plan.n_path > 1)
+    if cfg.stock_follow:
+        plan_good = plan_good & ~start_lethal
 
     # stock: NavFn planning FAILS when every cell within the goal
     # tolerance (1 m, nav2_stock_params.yaml v3c) is lethal — evaluated at
