@@ -310,9 +310,10 @@ def dispatch_plan(state: DispatchState, robot_xy, cost_win, win_r0, win_c0,
     # Lethal-start semantics.  Nav2's NavFn CLEARS the start cell before
     # planning ("we know it can't be an obstacle"), so the hybrid stack's
     # planner keeps planning with the believed pose inside inflation —
-    # restricting plan_good on start_lethal for ours-mode was measured to
-    # CAUSE a reach regression (r5 full campaign: route 03 drift 4.1 ->
-    # 15.3 m via plan-drought -> skip-cascade -> blur/snap feedback).
+    # gating ours-mode plan_good on start_lethal is parity-wrong (and,
+    # measured r5, behaviorally inert for ours: the anchored believed
+    # pose lands within the inscribed radius of a mapped cell so rarely
+    # that the full campaign is bit-identical with and without the gate).
     # For the STOCK baseline, start_lethal stands in for the reference's
     # physical wedge-stall: a believed pose inside mapped inflation means
     # the TRUE pose is wedged against the real obstacle a drift-offset
